@@ -1,38 +1,422 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Flagship: the satya_spark constraint-validation engine (see SURVEY.md)
+run over a transcripts table derived DETERMINISTICALLY from the
+driver's lineitem parquet (satya_spark/transcripts.py — identical SQL
+executed by Spark and by the DuckDB oracle, with violations planted at
+fixed modulus sites mirroring satya's valid/invalid/boundary corpora).
+
+Each ``queries()`` entry exercises one operator group from
+SURVEY.md §2; ``oracle_sql()`` is generated from the SAME compiled
+spec (satya_spark/compiler.py emits both the Spark Column and the
+DuckDB predicate per kernel).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from satya_spark.compiler import compile_spec  # noqa: E402
+from satya_spark.spec import transcript_spec  # noqa: E402
+from satya_spark.transcripts import from_tpch, tool_catalog_from_tpch, with_clause  # noqa: E402
+
+KEYS = ["conv_id", "turn_idx"]
+_COMPILED = compile_spec(transcript_spec())
+
+# kernel groups (SURVEY.md §2.3): query name -> constraint names
+_KERNEL_GROUPS: dict[str, tuple[str, ...]] = {
+    "kernel_required": ("required",),
+    "kernel_length": ("min_length", "max_length"),
+    "kernel_pattern": ("pattern",),
+    "kernel_email": ("email",),
+    "kernel_url": ("url",),
+    "kernel_enum": ("enum",),
+    "kernel_bounds": ("ge", "le", "gt", "lt", "min_value", "max_value"),
+    "kernel_multiple_of": ("multiple_of",),
+    "kernel_items": ("min_items", "max_items", "unique_items"),
+}
+
+
+def _duck(sql_body: str) -> str:
+    """Wrap a SELECT over the transcripts/tool_catalog CTEs."""
+    return with_clause("duckdb") + "\n" + sql_body
+
+
+def _spark_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = from_tpch(spark, sf_dir)
+    return _COMPILED.violations_df(df, KEYS)
+
+
+def _kernel_query(constraints: tuple[str, ...]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _spark_violations(spark, sf_dir).filter(
+            F.col("constraint_name").isin(*constraints)
+        )
+
+    return q
+
+
+def _kernel_oracle(constraints: tuple[str, ...]) -> str:
+    rules = [r for r in _COMPILED.rules if r.constraint in constraints]
+    from satya_spark.compiler import CompiledSpec
+
+    sub = CompiledSpec(spec=_COMPILED.spec, rules=rules)
+    return _duck(
+        "SELECT * FROM (\n"
+        + sub.violations_sql("transcripts", KEYS)
+        + "\n) v"
+    )
+
+
+# --- cross-row / aggregate queries ----------------------------------------
+
+def q_row_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-column kernel at once: the full violation-row table
+    (accumulate-not-fail-fast, tests/test_edge_cases.py:300-324)."""
+    return _spark_violations(spark, sf_dir)
+
+
+def q_row_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total/valid/invalid row counts — the batch-validate Vec<bool>
+    analog (src/lib.rs:359-392) reduced to counts."""
+    df = from_tpch(spark, sf_dir)
+    valid = _COMPILED.valid_col()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(valid.cast("long")).alias("n_valid"),
+        F.sum((~valid).cast("long")).alias("n_invalid"),
+    )
+
+
+def q_bucket_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket pass/fail verdicts (north rule's per-partition
+    verdicts, on a deterministic conv bucket so the oracle agrees)."""
+    df = from_tpch(spark, sf_dir)
+    bucket = (F.expr("CAST(substring(conv_id, 2) AS BIGINT)") % 32).alias("bucket")
+    valid = _COMPILED.valid_col()
+    return (
+        df.select(bucket, valid.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("long")).alias("n_valid"),
+            F.sum((~F.col("v")).cast("long")).alias("n_invalid"),
+        )
+        .withColumn("passed", F.col("n_invalid") == 0)
+    )
+
+
+def q_unique_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed uniqueness on (conv_id, turn_idx) — unique_items
+    (src/lib.rs:894-906) lifted to table scope."""
+    from satya_spark.crossrow import duplicate_keys
+
+    return duplicate_keys(from_tpch(spark, sf_dir), KEYS)
+
+
+def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling tool references vs the tool catalog — broadcast
+    left-anti join (custom-type resolution src/lib.rs:919-935 lifted
+    to referential integrity)."""
+    from satya_spark.crossrow import referential_violations
+
+    df = from_tpch(spark, sf_dir)
+    cat = tool_catalog_from_tpch(spark, sf_dir)
+    return referential_violations(df, "tool", cat, keys=KEYS)
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiles (per-field counters, src/satya/profiling.py
+    lifted to columns). Exact distinct for oracle comparability."""
+    from satya_spark.crossrow import column_stats
+
+    df = from_tpch(spark, sf_dir)
+    fields = ["conv_id", "turn_idx", "role", "text", "tool", "meta_email"]
+    s = column_stats(df, fields, exact_distinct=True)
+    return s.withColumn("null_rate", F.round("null_rate", 6))
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation stats via the skew-safe two-phase salted
+    aggregation (north rule)."""
+    from satya_spark.crossrow import conv_stats
+
+    return conv_stats(from_tpch(spark, sf_dir))
+
+
+def q_null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level null-rate: per-field null fraction vs threshold."""
+    df = from_tpch(spark, sf_dir)
+    return df.agg(
+        F.round(
+            F.sum(F.col("tool").isNull().cast("long")) / F.count(F.lit(1)), 6
+        ).alias("tool_null_rate"),
+        F.round(
+            F.sum(F.col("meta_email").isNull().cast("long")) / F.count(F.lit(1)),
+            6,
+        ).alias("email_null_rate"),
+    )
+
+
+def _drift_populations(spark: SparkSession, sf_dir: str):
+    from satya_spark.crossrow import conv_stats
+
+    df = from_tpch(spark, sf_dir)
+    stats = conv_stats(df).withColumn(
+        "half", F.expr("CAST(substring(conv_id, 2) AS BIGINT)") % 2
+    )
+    return stats
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between even- and odd-orderkey conversation populations on
+    avg text length (fixed 16-bucket grid, width 10)."""
+    from satya_spark.drift import histogram, psi
+
+    stats = _drift_populations(spark, sf_dir)
+    rh = histogram(stats.filter("half = 0").select(F.col("avg_text_len").alias("m")), "m", 10.0, 16)
+    ch = histogram(stats.filter("half = 1").select(F.col("avg_text_len").alias("m")), "m", 10.0, 16)
+    return psi(rh, ch, 16)
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic between the same populations."""
+    from satya_spark.drift import histogram, ks_binned
+
+    stats = _drift_populations(spark, sf_dir)
+    rh = histogram(stats.filter("half = 0").select(F.col("avg_text_len").alias("m")), "m", 10.0, 16)
+    ch = histogram(stats.filter("half = 1").select(F.col("avg_text_len").alias("m")), "m", 10.0, 16)
+    return ks_binned(rh, ch, 16)
+
+
+def q_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coercion tier (SURVEY.md §2.4): str→int (try_cast null-on-fail,
+    src/blaze_validator.rs:277-297), str→bool case-insensitive
+    true/false (src/satya/validator.py:606-613), ISO str→timestamp
+    with Z→+00:00 (src/satya/validator.py:649-658)."""
+    df = from_tpch(spark, sf_dir)
+    raw_int = F.when(
+        F.expr("CAST(substring(conv_id, 2) AS BIGINT)") % 17 == 0, F.lit("x")
+    ).otherwise(F.col("turn_idx").cast("string"))
+    raw_bool = F.when(F.col("turn_idx") % 3 == 0, F.lit("TRUE")).when(
+        F.col("turn_idx") % 3 == 1, F.lit("false")
+    ).otherwise(F.lit("yes"))
+    raw_ts = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
+    )
+    out = df.select(
+        "conv_id",
+        "turn_idx",
+        raw_int.alias("raw_int"),
+        raw_bool.alias("raw_bool"),
+        raw_ts.alias("raw_ts"),
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.expr("try_cast(raw_int AS BIGINT)").alias("coerced_int"),
+        F.when(F.lower("raw_bool") == "true", F.lit(True))
+        .when(F.lower("raw_bool") == "false", F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("coerced_bool"),
+        F.to_timestamp(F.replace(F.col("raw_ts"), F.lit("Z"), F.lit(""))).alias(
+            "coerced_ts"
+        ),
+    )
+
+
+def q_stable_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text equality under stable (conv_id, turn_idx) order —
+    the per-row invariant from BASELINE.json input_hint. rn is a
+    window row_number over the stable sort."""
+    from pyspark.sql import Window
+
+    df = from_tpch(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "text")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).alias("rn"),
+        "text",
+    )
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ingestion path (SURVEY.md §2.1): serialize each turn to a
+    JSON document, parse back with from_json against the declared
+    schema (the validate_json analog, src/lib.rs:394-413), and assert
+    text round-trips — result is the row count that survived."""
+    df = from_tpch(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    schema = "conv_id string, turn_idx int, role string, text string"
+    parsed = df.select(
+        "text",
+        F.from_json(F.to_json(F.struct("conv_id", "turn_idx", "role", "text")), schema).alias("j"),
+    )
+    ok = parsed.filter(
+        (F.col("j.text") == F.col("text"))
+        | (F.col("j.text").isNull() & F.col("text").isNull())
+    )
+    return ok.agg(F.count(F.lit(1)).alias("n_roundtripped"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: run the full validation pipeline and
+    return per-(field, constraint) violation counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    from satya_spark.engine import ValidationEngine
+    from satya_spark.spec import transcript_spec
+
+    eng = ValidationEngine(transcript_spec())
+    df = from_tpch(spark, sf_dir)
+    run = eng.run(df, catalogs={"tool_catalog": tool_catalog_from_tpch(spark, sf_dir)})
+    return (
+        run.violations.groupBy("field", "constraint_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("field", "constraint_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _kernel_query(cs) for name, cs in _KERNEL_GROUPS.items()
+    }
+    out.update(
+        {
+            "row_violations": q_row_violations,
+            "row_verdicts": q_row_verdicts,
+            "bucket_verdicts": q_bucket_verdicts,
+            "unique_key": q_unique_key,
+            "referential": q_referential,
+            "column_stats": q_column_stats,
+            "conv_stats": q_conv_stats,
+            "null_rate": q_null_rate,
+            "drift_psi": q_drift_psi,
+            "drift_ks": q_drift_ks,
+            "coercions": q_coercions,
+            "stable_text": q_stable_text,
+            "json_roundtrip": q_json_roundtrip,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    valid = _COMPILED.valid_sql()
+    out: dict[str, str] = {
+        name: _kernel_oracle(cs) for name, cs in _KERNEL_GROUPS.items()
+    }
+    out["row_violations"] = _duck(
+        "SELECT * FROM (\n"
+        + _COMPILED.violations_sql("transcripts", KEYS)
+        + "\n) v"
+    )
+    out["row_verdicts"] = _duck(
+        f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(CASE WHEN ({valid}) THEN 1 END) AS BIGINT) AS n_valid, "
+        f"CAST(count(CASE WHEN NOT ({valid}) THEN 1 END) AS BIGINT) AS n_invalid "
+        f"FROM transcripts"
+    )
+    out["bucket_verdicts"] = _duck(
+        f"SELECT CAST(substring(conv_id, 2) AS BIGINT) % 32 AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(CASE WHEN ({valid}) THEN 1 END) AS BIGINT) AS n_valid, "
+        f"CAST(count(CASE WHEN NOT ({valid}) THEN 1 END) AS BIGINT) AS n_invalid, "
+        f"count(CASE WHEN NOT ({valid}) THEN 1 END) = 0 AS passed "
+        f"FROM transcripts GROUP BY 1"
+    )
+    out["unique_key"] = _duck(
+        "SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS dup_count "
+        "FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1"
+    )
+    out["referential"] = _duck(
+        "SELECT tool, conv_id, turn_idx FROM transcripts "
+        "WHERE tool IS NOT NULL AND tool NOT IN (SELECT tool FROM tool_catalog)"
+    )
+    stats_parts = []
+    for fld in ["conv_id", "turn_idx", "role", "text", "tool", "meta_email"]:
+        stats_parts.append(
+            f"SELECT '{fld}' AS field, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(CASE WHEN {fld} IS NULL THEN 1 END) AS BIGINT) AS n_null, "
+            f"round(CAST(count(CASE WHEN {fld} IS NULL THEN 1 END) AS DOUBLE)"
+            f" / count(*), 6) AS null_rate, "
+            f"CAST(count(DISTINCT {fld}) AS BIGINT) AS n_distinct FROM transcripts"
+        )
+    out["column_stats"] = _duck(" UNION ALL ".join(stats_parts))
+    out["conv_stats"] = _duck(
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+        "max(turn_idx) AS max_turn_idx, "
+        "CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_text_len, "
+        "round(CAST(sum(coalesce(length(text), 0)) AS DOUBLE) / count(*), 4)"
+        " AS avg_text_len "
+        "FROM transcripts GROUP BY conv_id"
+    )
+    out["null_rate"] = _duck(
+        "SELECT "
+        "round(CAST(count(CASE WHEN tool IS NULL THEN 1 END) AS DOUBLE)"
+        " / count(*), 6) AS tool_null_rate, "
+        "round(CAST(count(CASE WHEN meta_email IS NULL THEN 1 END) AS DOUBLE)"
+        " / count(*), 6) AS email_null_rate "
+        "FROM transcripts"
+    )
+    drift_cte = (
+        ", conv AS (SELECT conv_id, "
+        "round(CAST(sum(coalesce(length(text),0)) AS DOUBLE)/count(*), 4) AS m, "
+        "CAST(substring(conv_id, 2) AS BIGINT) % 2 AS half "
+        "FROM transcripts GROUP BY conv_id), "
+        "hists AS (SELECT greatest(least(CAST(floor(m / 10.0) AS INT), 15), 0)"
+        " AS bucket, "
+        "CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n_ref, "
+        "CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n_cur "
+        "FROM conv GROUP BY 1), "
+        "grid AS (SELECT CAST(range AS INT) AS bucket FROM range(16)), "
+        "joined AS (SELECT g.bucket, coalesce(n_ref, 0) AS n_ref, "
+        "coalesce(n_cur, 0) AS n_cur FROM grid g LEFT JOIN hists h"
+        " ON g.bucket = h.bucket), "
+        "tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM joined)"
+    )
+    out["drift_psi"] = _duck(
+        drift_cte
+        + " SELECT bucket, "
+        "round(CAST(n_ref AS DOUBLE)/t_ref + 1e-06, 8) AS p, "
+        "round(CAST(n_cur AS DOUBLE)/t_cur + 1e-06, 8) AS q, "
+        "round((CAST(n_ref AS DOUBLE)/t_ref + 1e-06 - CAST(n_cur AS DOUBLE)/t_cur - 1e-06)"
+        " * ln((CAST(n_ref AS DOUBLE)/t_ref + 1e-06) / (CAST(n_cur AS DOUBLE)/t_cur + 1e-06)), 6)"
+        " AS psi_contrib "
+        "FROM joined, tot ORDER BY bucket"
+    )
+    out["drift_ks"] = _duck(
+        drift_cte
+        + ", cdf AS (SELECT bucket, "
+        "CAST(sum(n_ref) OVER (ORDER BY bucket) AS DOUBLE) / t_ref AS c_ref, "
+        "CAST(sum(n_cur) OVER (ORDER BY bucket) AS DOUBLE) / t_cur AS c_cur "
+        "FROM joined, tot) "
+        "SELECT round(max(abs(c_ref - c_cur)), 6) AS ks_stat FROM cdf"
+    )
+    out["coercions"] = _duck(
+        "SELECT conv_id, turn_idx, "
+        "TRY_CAST(CASE WHEN CAST(substring(conv_id, 2) AS BIGINT) % 17 = 0"
+        " THEN 'x' ELSE CAST(turn_idx AS STRING) END AS BIGINT) AS coerced_int, "
+        "CASE WHEN lower(CASE WHEN turn_idx % 3 = 0 THEN 'TRUE'"
+        " WHEN turn_idx % 3 = 1 THEN 'false' ELSE 'yes' END) = 'true' THEN TRUE "
+        "WHEN lower(CASE WHEN turn_idx % 3 = 0 THEN 'TRUE'"
+        " WHEN turn_idx % 3 = 1 THEN 'false' ELSE 'yes' END) = 'false' THEN FALSE "
+        "ELSE CAST(NULL AS BOOLEAN) END AS coerced_bool, "
+        "ts AS coerced_ts "
+        "FROM transcripts"
+    )
+    out["stable_text"] = _duck(
+        "SELECT conv_id, turn_idx, "
+        "CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, text)"
+        " AS INT) AS rn, text FROM transcripts"
+    )
+    out["json_roundtrip"] = _duck(
+        "SELECT CAST(count(*) AS BIGINT) AS n_roundtripped FROM transcripts"
+    )
+    return out

@@ -1,0 +1,353 @@
+"""Spec → vectorized Spark expressions + DuckDB oracle SQL.
+
+This is the analog of satya's validator compilation step
+(``Model.validator()`` → ``BlazeValidatorPy.add_field /
+set_constraints / compile``, reference ``src/satya/__init__.py:526-599``
+and ``src/blaze_validator.rs:161-192``): the spec is compiled ONCE per
+job into Catalyst ``Column`` expressions; Spark's whole-stage codegen
+then plays the role of satya's Rust kernels (SURVEY.md §4). There is
+no per-row Python anywhere on this path.
+
+Every compiled rule also emits an equivalent DuckDB SQL *failure
+predicate*, so the differential oracle (the analog of the reference's
+Pydantic-compatibility suite, ``tests/test_pydantic_compatibility.py:
+327-366``) is generated from the same single source of truth.
+
+Column construction is LAZY (``fail`` / ``offending`` are properties
+building the expression on access) so that SQL generation works
+without a live SparkSession — the driver may call ``oracle_sql()``
+standalone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, List
+
+from .spec import (
+    EMAIL_MAX_LEN,
+    EMAIL_PATTERN,
+    MULTIPLE_OF_EPS,
+    URL_PATTERN,
+    FieldSpec,
+    TableSpec,
+)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _fmt_num(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    return repr(float(v))
+
+
+@dataclass(frozen=True)
+class CompiledRule:
+    """One (field, constraint) kernel.
+
+    ``fail`` is a Spark Column that is TRUE exactly on violating rows
+    (NULL-safe: value rules never fire on NULL input — reference
+    semantics ``src/satya/validator.py:589-592``). ``fail_sql`` is the
+    equivalent DuckDB predicate over the same column names.
+    ``offending`` / ``offending_sql`` render the offending value as a
+    string for the violation row (``ValidationError.value``,
+    ``src/satya/__init__.py:20-48``).
+    """
+
+    field: str
+    constraint: str
+    fail_fn: Callable[[], "Column"]  # noqa: F821 - lazy pyspark import
+    fail_sql: str
+    offending_fn: Callable[[], "Column"]  # noqa: F821
+    offending_sql: str
+
+    @property
+    def fail(self):
+        return self.fail_fn()
+
+    @property
+    def offending(self):
+        return self.offending_fn()
+
+
+def compile_field(f: FieldSpec) -> List[CompiledRule]:
+    """All kernels for one column, deterministic order (cheap-first
+    mirrors the Blaze cost sort ``src/blaze_validator.rs:161-192``;
+    order only affects violation-row ordering, treated as a set)."""
+    name = f.name
+    rules: List[CompiledRule] = []
+
+    is_array = f.dtype.startswith("array")
+    is_float = f.dtype in ("double", "float")
+
+    def off_fns() -> tuple[Callable, str]:
+        from pyspark.sql import functions as F
+
+        if is_array:
+            # portable list rendering: 'a,b,c' in both engines
+            return (
+                lambda: F.concat_ws(",", F.col(name)),
+                f"array_to_string({name}, ',')",
+            )
+        if is_float:
+            # CAST(double AS STRING) formats differently across engines
+            # (Java "1.0E9" vs DuckDB "1000000000.0"); use a fixed
+            # decimal rendering for portability.
+            return (
+                lambda: F.col(name).cast("decimal(28,6)").cast("string"),
+                f"CAST(CAST({name} AS DECIMAL(28,6)) AS VARCHAR)",
+            )
+        return lambda: F.col(name).cast("string"), f"CAST({name} AS VARCHAR)"
+
+    offending_fn, offending_sql = off_fns()
+
+    def add(constraint: str, ok_fn: Callable, ok_sql: str) -> None:
+        from pyspark.sql import functions as F
+
+        rules.append(
+            CompiledRule(
+                field=name,
+                constraint=constraint,
+                fail_fn=lambda: F.col(name).isNotNull() & ~ok_fn(),
+                fail_sql=f"({name} IS NOT NULL AND NOT ({ok_sql}))",
+                offending_fn=offending_fn,
+                offending_sql=offending_sql,
+            )
+        )
+
+    if f.required:
+
+        def _req_fail():
+            from pyspark.sql import functions as F
+
+            return F.col(name).isNull()
+
+        def _req_off():
+            from pyspark.sql import functions as F
+
+            return F.lit(None).cast("string")
+
+        rules.append(
+            CompiledRule(
+                field=name,
+                constraint="required",
+                fail_fn=_req_fail,
+                fail_sql=f"({name} IS NULL)",
+                offending_fn=_req_off,
+                offending_sql="CAST(NULL AS VARCHAR)",
+            )
+        )
+
+    def FN():
+        from pyspark.sql import functions as F
+
+        return F
+
+    # --- string kernels ---------------------------------------------
+    if f.min_length is not None:
+        n = f.min_length
+        # trimmed min_length (src/satya/validator.py:226-229)
+        add(
+            "min_length",
+            lambda n=n: FN().length(FN().trim(FN().col(name))) >= n,
+            f"length(trim({name})) >= {n}",
+        )
+    if f.max_length is not None:
+        n = f.max_length
+        add(
+            "max_length",
+            lambda n=n: FN().length(FN().col(name)) <= n,
+            f"length({name}) <= {n}",
+        )
+    if f.pattern is not None:
+        p = f.pattern
+        add(
+            "pattern",
+            lambda p=p: FN().col(name).rlike(p),
+            f"regexp_matches({name}, {_sql_quote(p)})",
+        )
+    if f.email:
+        # regex + max length 254 (src/lib.rs:947-969)
+        add(
+            "email",
+            lambda: FN().col(name).rlike(EMAIL_PATTERN)
+            & (FN().length(FN().col(name)) <= EMAIL_MAX_LEN),
+            f"(regexp_matches({name}, {_sql_quote(EMAIL_PATTERN)})"
+            f" AND length({name}) <= {EMAIL_MAX_LEN})",
+        )
+    if f.url:
+        add(
+            "url",
+            lambda: FN().col(name).rlike(URL_PATTERN),
+            f"regexp_matches({name}, {_sql_quote(URL_PATTERN)})",
+        )
+    if f.enum is not None:
+        vals = ", ".join(_sql_quote(v) for v in f.enum)
+        enum = f.enum
+        add(
+            "enum",
+            lambda enum=enum: FN().col(name).isin(*enum),
+            f"{name} IN ({vals})",
+        )
+
+    # --- numeric kernels --------------------------------------------
+    for cname, op_sql in (
+        ("ge", ">="),
+        ("le", "<="),
+        ("gt", ">"),
+        ("lt", "<"),
+        ("min_value", ">="),
+        ("max_value", "<="),
+    ):
+        v = getattr(f, cname)
+        if v is not None:
+
+            def _cmp(v=v, op=op_sql):
+                F = FN()
+                c = F.col(name)
+                return {
+                    ">=": c >= F.lit(v),
+                    "<=": c <= F.lit(v),
+                    ">": c > F.lit(v),
+                    "<": c < F.lit(v),
+                }[op]
+
+            add(cname, _cmp, f"{name} {op_sql} {_fmt_num(v)}")
+    if f.multiple_of is not None:
+        m = f.multiple_of
+        if is_float:
+            # ε-tolerant float modulo (src/satya/scalar_validators.py:164-169)
+            def _mof(m=m):
+                F = FN()
+                r = F.abs(F.col(name) % F.lit(m))
+                return (r < MULTIPLE_OF_EPS) | (
+                    F.abs(r - F.lit(m)) < MULTIPLE_OF_EPS
+                )
+
+            ok_sql = (
+                f"(abs(fmod({name}, {_fmt_num(m)})) < {MULTIPLE_OF_EPS!r}"
+                f" OR abs(abs(fmod({name}, {_fmt_num(m)})) - {_fmt_num(m)})"
+                f" < {MULTIPLE_OF_EPS!r})"
+            )
+            add("multiple_of", _mof, ok_sql)
+        else:
+            mi = int(m)
+            add(
+                "multiple_of",
+                lambda mi=mi: (FN().col(name) % mi) == 0,
+                f"({name} % {mi}) = 0",
+            )
+
+    # --- array kernels ------------------------------------------------
+    if f.min_items is not None:
+        n = f.min_items
+        add(
+            "min_items",
+            lambda n=n: FN().size(FN().col(name)) >= n,
+            f"len({name}) >= {n}",
+        )
+    if f.max_items is not None:
+        n = f.max_items
+        add(
+            "max_items",
+            lambda n=n: FN().size(FN().col(name)) <= n,
+            f"len({name}) <= {n}",
+        )
+    if f.unique_items:
+        # stringified-comparison uniqueness (src/lib.rs:894-906)
+        add(
+            "unique_items",
+            lambda: FN().size(FN().col(name))
+            == FN().size(FN().array_distinct(FN().col(name))),
+            f"len({name}) = len(list_distinct({name}))",
+        )
+
+    return rules
+
+
+@dataclass
+class CompiledSpec:
+    """All kernels of a TableSpec, with single-scan Spark evaluators
+    and matching oracle-SQL generators."""
+
+    spec: TableSpec
+    rules: List[CompiledRule]
+
+    # ---- Spark side ---------------------------------------------------
+    def valid_col(self):
+        """Row validity: conjunction of all kernels (NULL-safe)."""
+        from pyspark.sql import functions as F
+
+        out = F.lit(True)
+        for r in self.rules:
+            out = out & ~F.coalesce(r.fail, F.lit(False))
+        return out
+
+    def violations_array_col(self):
+        """array<struct<field,constraint_name,offending_value>> per
+        row — the accumulate-all-errors shape
+        (``src/satya/validator.py:219-275``)."""
+        from pyspark.sql import functions as F
+
+        elems = [
+            F.when(
+                F.coalesce(r.fail, F.lit(False)),
+                F.struct(
+                    F.lit(r.field).alias("field"),
+                    F.lit(r.constraint).alias("constraint_name"),
+                    r.offending.alias("offending_value"),
+                ),
+            )
+            for r in self.rules
+        ]
+        arr = F.array(*elems)
+        return F.filter(arr, lambda x: x.isNotNull())
+
+    def with_validation(self, df):
+        """One-scan: input columns + ``valid`` + ``violations``."""
+        return df.withColumns(
+            {"valid": self.valid_col(), "violations": self.violations_array_col()}
+        )
+
+    def violations_df(self, df, key_cols: List[str]):
+        """Exploded violation rows (key..., field, constraint_name,
+        offending_value) — single scan, codegen'd."""
+        from pyspark.sql import functions as F
+
+        v = self.violations_array_col()
+        return (
+            df.select(*key_cols, F.explode(v).alias("v"))
+            .select(*key_cols, "v.field", "v.constraint_name", "v.offending_value")
+        )
+
+    # ---- oracle side --------------------------------------------------
+    def violations_sql(self, table: str, key_cols: List[str]) -> str:
+        """DuckDB SQL computing the identical violation rows via
+        UNION ALL of per-kernel selects over ``table``."""
+        keys = ", ".join(key_cols)
+        parts = [
+            f"SELECT {keys}, {_sql_quote(r.field)} AS field, "
+            f"{_sql_quote(r.constraint)} AS constraint_name, "
+            f"{'CAST(NULL AS VARCHAR)' if r.constraint == 'required' else r.offending_sql}"
+            f" AS offending_value FROM {table} WHERE {r.fail_sql}"
+            for r in self.rules
+        ]
+        return "\nUNION ALL\n".join(parts)
+
+    def valid_sql(self) -> str:
+        """DuckDB boolean expression: row passes all kernels."""
+        return " AND ".join(
+            f"(NOT COALESCE({r.fail_sql}, FALSE))" for r in self.rules
+        )
+
+
+def compile_spec(spec: TableSpec) -> CompiledSpec:
+    rules: List[CompiledRule] = []
+    for f in spec.fields:
+        rules.extend(compile_field(f))
+    return CompiledSpec(spec=spec, rules=rules)

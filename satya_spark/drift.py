@@ -1,0 +1,108 @@
+"""Distribution-drift kernels: PSI and binned two-sample KS.
+
+The reference has no drift analog (SURVEY.md §2.9) — these are the
+north-rule extensions over per-conversation stats (turn count, text
+length). Design for 10^12 rows:
+
+* Exact KS needs a global sort; instead both kernels work on a FIXED
+  bucket grid (edges shipped with the reference snapshot), so each
+  side reduces to a tiny histogram via one map-side-combinable
+  ``groupBy(bucket).count()``. Approximation error is bounded by the
+  bucket width (documented, not silent).
+* Histograms are joined on bucket id (≤ dozens of rows — broadcast,
+  effectively free) and the statistic is computed with window
+  cumulative sums over the tiny joined frame.
+* Bucketing is plain integer arithmetic (``least(floor(x/w), n-1)``)
+  — portable to the DuckDB oracle, unlike ``width_bucket``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PSI_EPS = 1e-6
+
+
+def bucketize(col: Column, width: float, n_buckets: int) -> Column:
+    """Fixed-grid bucket id: least(floor(col / width), n_buckets-1),
+    clamped at 0 for negatives."""
+    b = F.floor(col.cast("double") / F.lit(float(width))).cast("int")
+    return F.greatest(F.least(b, F.lit(n_buckets - 1)), F.lit(0))
+
+
+def histogram(
+    df: DataFrame, value_col: str, width: float, n_buckets: int
+) -> DataFrame:
+    """(bucket, n) histogram over the fixed grid. One shuffle of at
+    most n_buckets groups; partial aggregation makes the map side do
+    nearly all the work."""
+    return (
+        df.select(bucketize(F.col(value_col), width, n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _full_grid(spark, n_buckets: int) -> DataFrame:
+    return spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+
+
+def psi(
+    ref_hist: DataFrame,
+    cur_hist: DataFrame,
+    n_buckets: int,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Population Stability Index per bucket + total.
+
+    psi_contrib_b = (p_b - q_b) * ln(p_b / q_b) with ε-smoothed
+    proportions. Returns (bucket, p, q, psi_contrib) — tiny frame.
+    Use :func:`psi_total` for the scalar.
+    """
+    spark = ref_hist.sparkSession
+    grid = _full_grid(spark, n_buckets)
+    r = grid.join(ref_hist.withColumnRenamed("n", "n_ref"), "bucket", "left")
+    r = r.join(cur_hist.withColumnRenamed("n", "n_cur"), "bucket", "left")
+    r = r.fillna(0, subset=["n_ref", "n_cur"])
+    tot = r.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    r = r.crossJoin(F.broadcast(tot))
+    p = F.col("n_ref").cast("double") / F.col("t_ref") + F.lit(eps)
+    q = F.col("n_cur").cast("double") / F.col("t_cur") + F.lit(eps)
+    return r.select(
+        "bucket",
+        F.round(p, 8).alias("p"),
+        F.round(q, 8).alias("q"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    ).orderBy("bucket")
+
+
+def psi_total(psi_df: DataFrame) -> float:
+    row = psi_df.agg(F.sum("psi_contrib").alias("psi")).collect()[0]
+    return float(row["psi"])
+
+
+def ks_binned(
+    ref_hist: DataFrame, cur_hist: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov: max |ECDF_ref - ECDF_cur|
+    over bucket edges. Exact up to bucket-width resolution. Returns a
+    single row (ks_stat)."""
+    spark = ref_hist.sparkSession
+    grid = _full_grid(spark, n_buckets)
+    r = grid.join(ref_hist.withColumnRenamed("n", "n_ref"), "bucket", "left")
+    r = r.join(cur_hist.withColumnRenamed("n", "n_cur"), "bucket", "left")
+    r = r.fillna(0, subset=["n_ref", "n_cur"])
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = r.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    r = r.crossJoin(F.broadcast(tot))
+    cdf_ref = F.sum("n_ref").over(w).cast("double") / F.col("t_ref")
+    cdf_cur = F.sum("n_cur").over(w).cast("double") / F.col("t_cur")
+    gap = F.abs(cdf_ref - cdf_cur)
+    return r.select(gap.alias("gap")).agg(
+        F.round(F.max("gap"), 6).alias("ks_stat")
+    )

@@ -1,0 +1,195 @@
+"""ValidationEngine — the top-level orchestrator.
+
+The Spark analog of satya's ``StreamValidator``
+(``src/satya/validator.py:10-21``): compile once, evaluate over
+arbitrarily many batches. Here a "batch" is a DataFrame (or a whole
+Iceberg/parquet table) and evaluation is:
+
+    stage 1  per-column kernels        one codegen'd select (no shuffle)
+    stage 2  per-shard verdicts        groupBy(shard) — counts only
+    stage 3  cross-row rules           uniqueness / referential / null-rate
+    stage 4  drift                     per-conversation stats → PSI/KS
+
+matching the stage DAG that satya's ModelRegistry topological sort
+implies for nested models (``src/satya/__init__.py:1164-1196``),
+lifted to table scope (SURVEY.md §1.1 'Dependency graph').
+
+Outputs (all DataFrames, all lazy until written):
+* annotated rows (input + ``valid`` + ``violations`` array)
+* violation rows ``(conv_id, turn_idx, field, constraint_name,
+  offending_value)`` — ValidationError shape
+  (``src/satya/__init__.py:20-48``)
+* per-shard verdict rows (pass/fail + counts) — per-partition
+  verdicts of the north rule
+* cross-row violation tables
+* manifest rows for checkpoint-resume
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import crossrow, drift
+from .compiler import CompiledSpec, compile_spec
+from .manifest import Manifest, new_run_id, pending_shards, shard_col
+from .spec import TableSpec
+
+# cap violations materialized per row — accumulate-not-fail-fast can
+# explode on pathological rows; the cap is recorded, never silent
+# (SURVEY.md §7 'What's hard').
+MAX_VIOLATIONS_PER_ROW = 64
+
+
+@dataclass
+class ValidationRun:
+    annotated: DataFrame
+    violations: DataFrame
+    shard_verdicts: DataFrame
+    duplicates: Optional[DataFrame]
+    referential: Dict[str, DataFrame]
+    null_rate: Dict[str, DataFrame]
+
+
+class ValidationEngine:
+    def __init__(self, spec: TableSpec, n_shards: int = 64):
+        self.spec = spec
+        self.compiled: CompiledSpec = compile_spec(spec)
+        self.n_shards = n_shards
+
+    # --- stage 1: row kernels -----------------------------------------
+    def annotate(self, df: DataFrame) -> DataFrame:
+        """input + shard + valid + violations (single scan, codegen)."""
+        out = df.withColumn("shard", shard_col(self.n_shards))
+        out = out.withColumn("valid", self.compiled.valid_col())
+        out = out.withColumn(
+            "violations",
+            F.slice(
+                self.compiled.violations_array_col(), 1, MAX_VIOLATIONS_PER_ROW
+            ),
+        )
+        return out
+
+    def violations(self, df: DataFrame, keys: Sequence[str] = ("conv_id", "turn_idx")) -> DataFrame:
+        return self.compiled.violations_df(df, list(keys))
+
+    # --- stage 2: per-shard verdicts ------------------------------------
+    def shard_verdicts(self, annotated: DataFrame) -> DataFrame:
+        """Per-shard pass/fail + counts. Verdict = no invalid rows in
+        the shard. Counts-only aggregation → fully map-side
+        combinable, one tiny shuffle."""
+        return (
+            annotated.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("valid").cast("long")).alias("n_valid"),
+                F.sum((~F.col("valid")).cast("long")).alias("n_invalid_rows"),
+                F.sum(F.size("violations").cast("long")).alias("n_rule_violations"),
+            )
+            .withColumn("passed", F.col("n_invalid_rows") == 0)
+        )
+
+    # --- stage 3: cross-row --------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        catalogs: Optional[Dict[str, DataFrame]] = None,
+    ) -> ValidationRun:
+        annotated = self.annotate(df)
+        dups = (
+            crossrow.duplicate_keys(df, self.spec.unique_key)
+            if self.spec.unique_key
+            else None
+        )
+        refs: Dict[str, DataFrame] = {}
+        for col, cat_name in self.spec.references:
+            if catalogs and cat_name in catalogs:
+                refs[col] = crossrow.referential_violations(
+                    df, col, catalogs[cat_name], keys=["conv_id", "turn_idx"]
+                )
+        nulls: Dict[str, DataFrame] = {}
+        for f in self.spec.fields:
+            if f.max_null_rate is not None:
+                nulls[f.name] = crossrow.null_rate_violations(
+                    df, f.name, f.max_null_rate
+                )
+        return ValidationRun(
+            annotated=annotated,
+            violations=self.violations(df),
+            shard_verdicts=self.shard_verdicts(annotated),
+            duplicates=dups,
+            referential=refs,
+            null_rate=nulls,
+        )
+
+    # --- resumable driver -------------------------------------------------
+    def run_resumable(
+        self,
+        df: DataFrame,
+        manifest_path: str,
+        catalogs: Optional[Dict[str, DataFrame]] = None,
+        run_id: Optional[str] = None,
+        fingerprint: str = "",
+    ) -> DataFrame:
+        """Validate only shards absent from the manifest; append their
+        verdicts + metrics. Returns this run's shard verdicts.
+
+        A killed job restarts and reprocesses only unrecorded shards
+        (manifest writes are atomic per file). Idempotent: re-running
+        a fully recorded input validates nothing.
+        """
+        spark = df.sparkSession
+        manifest = Manifest(spark, manifest_path)
+        run_id = run_id or new_run_id()
+
+        with_shard = df.withColumn("shard", shard_col(self.n_shards))
+        todo = pending_shards(with_shard, manifest).drop("shard")
+        annotated = self.annotate(todo)
+        t0 = time.monotonic()
+        verdicts = self.shard_verdicts(annotated).collect()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        now_ms = int(time.time() * 1000)
+        manifest.append(
+            [
+                {
+                    "run_id": run_id,
+                    "shard": int(r["shard"]),
+                    "n_rows": int(r["n_rows"]),
+                    "n_valid": int(r["n_valid"]),
+                    "n_invalid_rows": int(r["n_invalid_rows"]),
+                    "n_rule_violations": int(r["n_rule_violations"]),
+                    "wall_ms": wall_ms,
+                    "input_fingerprint": fingerprint,
+                    "completed_at_ms": now_ms,
+                }
+                for r in verdicts
+            ]
+        )
+        return manifest.read().filter(F.col("run_id") == run_id)
+
+    # --- stage 4: drift ----------------------------------------------------
+    def drift_check(
+        self,
+        ref_df: DataFrame,
+        cur_df: DataFrame,
+        metric: str = "text_len",
+        width: float = 200.0,
+        n_buckets: int = 20,
+    ) -> Dict[str, DataFrame]:
+        """PSI + binned KS between two transcript populations on a
+        per-conversation metric ('text_len' avg chars or 'n_turns')."""
+        def conv_metric(d: DataFrame) -> DataFrame:
+            s = crossrow.conv_stats(d)
+            col = "avg_text_len" if metric == "text_len" else "n_turns"
+            return s.select(F.col(col).alias("m"))
+
+        rh = drift.histogram(conv_metric(ref_df), "m", width, n_buckets)
+        ch = drift.histogram(conv_metric(cur_df), "m", width, n_buckets)
+        return {
+            "psi": drift.psi(rh, ch, n_buckets),
+            "ks": drift.ks_binned(rh, ch, n_buckets),
+        }

@@ -1,0 +1,84 @@
+"""Checkpoint-resume via the shard manifest (FIXTURES.md F5): a
+pre-populated manifest skips validated shards; re-runs are idempotent;
+final coverage is exactly-once per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from satya_spark.engine import ValidationEngine
+from satya_spark.manifest import Manifest, shard_col
+from satya_spark.spec import transcript_spec
+from satya_spark.transcripts import synthesize
+
+
+def test_resume_skips_validated_shards(spark, tmp_path):
+    eng = ValidationEngine(transcript_spec(), n_shards=8)
+    df = synthesize(spark, n_conv=100).cache()
+    total_rows = df.count()
+
+    mpath = str(tmp_path / "manifest")
+    # simulate a killed job: pretend shards 0..3 are already validated
+    pre = Manifest(spark, mpath)
+    with_shard = df.withColumn("shard", shard_col(8))
+    done_counts = {
+        r["shard"]: r["n"]
+        for r in with_shard.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    pre.append(
+        [
+            {
+                "run_id": "run0",
+                "shard": s,
+                "n_rows": done_counts.get(s, 0),
+                "n_valid": 0,
+                "n_invalid_rows": 0,
+                "n_rule_violations": 0,
+                "wall_ms": 0,
+                "input_fingerprint": "f",
+                "completed_at_ms": 0,
+            }
+            for s in range(4)
+        ]
+    )
+
+    out = eng.run_resumable(df, mpath, run_id="run1")
+    shards_run1 = {r["shard"] for r in out.collect()}
+    assert shards_run1.isdisjoint(set(range(4)))
+
+    # exactly-once coverage: every shard recorded exactly once overall
+    m = Manifest(spark, mpath).read()
+    per_shard = m.groupBy("shard").count().collect()
+    assert {r["shard"] for r in per_shard} == set(range(8))
+    assert all(r["count"] == 1 for r in per_shard)
+    # and row counts add up to the full input
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == total_rows
+
+    # idempotent: a third run validates nothing new
+    out2 = eng.run_resumable(df, mpath, run_id="run2")
+    assert out2.count() == 0
+    df.unpersist()
+
+
+def test_manifest_atomic_append_visible(spark, tmp_path):
+    m = Manifest(spark, str(tmp_path / "m2"))
+    assert m.completed_shards() == set()
+    m.append(
+        [
+            {
+                "run_id": "r",
+                "shard": 3,
+                "n_rows": 10,
+                "n_valid": 10,
+                "n_invalid_rows": 0,
+                "n_rule_violations": 0,
+                "wall_ms": 5,
+                "input_fingerprint": "x",
+                "completed_at_ms": 1,
+            }
+        ]
+    )
+    assert m.completed_shards() == {3}
+    row = m.read().collect()[0]
+    assert row["n_rows"] == 10 and row["run_id"] == "r"
