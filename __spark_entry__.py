@@ -165,35 +165,30 @@ def q_null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drift_populations(spark: SparkSession, sf_dir: str):
+def _drift_pair(spark: SparkSession, sf_dir: str):
+    """Even- vs odd-orderkey conversation populations, avg text
+    length, both histogrammed in ONE aggregation pass."""
     from satya_spark.crossrow import conv_stats
+    from satya_spark.drift import pair_from_split
 
-    df = from_tpch(spark, sf_dir)
-    stats = conv_stats(df).withColumn(
-        "half", F.expr("CAST(substring(conv_id, 2) AS BIGINT)") % 2
-    )
-    return stats
+    stats = conv_stats(from_tpch(spark, sf_dir))
+    half = F.expr("CAST(substring(conv_id, 2) AS BIGINT)") % 2
+    return pair_from_split(stats, "avg_text_len", half, 10.0, 16)
 
 
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI between even- and odd-orderkey conversation populations on
     avg text length (fixed 16-bucket grid, width 10)."""
-    from satya_spark.drift import histogram, psi
+    from satya_spark.drift import psi_pair
 
-    stats = _drift_populations(spark, sf_dir)
-    rh = histogram(stats.filter("half = 0").select(F.col("avg_text_len").alias("m")), "m", 10.0, 16)
-    ch = histogram(stats.filter("half = 1").select(F.col("avg_text_len").alias("m")), "m", 10.0, 16)
-    return psi(rh, ch, 16)
+    return psi_pair(_drift_pair(spark, sf_dir))
 
 
 def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned two-sample KS statistic between the same populations."""
-    from satya_spark.drift import histogram, ks_binned
+    from satya_spark.drift import ks_pair
 
-    stats = _drift_populations(spark, sf_dir)
-    rh = histogram(stats.filter("half = 0").select(F.col("avg_text_len").alias("m")), "m", 10.0, 16)
-    ch = histogram(stats.filter("half = 1").select(F.col("avg_text_len").alias("m")), "m", 10.0, 16)
-    return ks_binned(rh, ch, 16)
+    return ks_pair(_drift_pair(spark, sf_dir))
 
 
 def q_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +261,116 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok.agg(F.count(F.lit(1)).alias("n_roundtripped"))
 
 
+# --- training-data pipeline operators (documents / embeddings) -----------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analytics: ws/BPE token counts, punctuation ratio,
+    quality score (satya_spark/functions/text.py)."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions import text as tx
+
+    d = docs_from_testdata(spark, sf_dir)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws(c).alias("n_tok_ws"),
+        tx.token_count_bpe(c).alias("n_tok_bpe"),
+        tx.punct_ratio(c).alias("punct_ratio"),
+        tx.quality_score(c).alias("quality"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang column."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions import text as tx
+
+    d = docs_from_testdata(spark, sf_dir)
+    pred = tx.lang_id(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("correct"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of whitespace-normalized text."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions import text as tx
+
+    d = docs_from_testdata(spark, sf_dir)
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import exact_dup_groups
+
+    return exact_dup_groups(docs_from_testdata(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: token-set Jaccard >= 0.6, blocked by
+    (lang, token-count band)."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import jaccard_pairs
+
+    return jaccard_pairs(docs_from_testdata(spark, sf_dir), threshold=0.6)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with true Jaccard — the
+    scalable near-dup pipeline (portable md5-derived hashes)."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(docs_from_testdata(spark, sf_dir), threshold=0.6)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (explode + codegen'd bit sums)."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import simhash_signatures
+
+    return simhash_signatures(docs_from_testdata(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors —
+    the exact ANN baseline (broadcast queries, no shuffle on corpus)."""
+    from satya_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path; rows-only check —
+    the exact baseline above is its quality oracle)."""
+    from satya_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4, dims=64)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: Arrow-batched mapInPandas feature
+    extraction over opaque binary payloads (decode stubbed —
+    rows-only check)."""
+    from satya_spark.functions.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(spark, 200))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: run the full validation pipeline and
     return per-(field, constraint) violation counts."""
@@ -302,6 +407,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "coercions": q_coercions,
             "stable_text": q_stable_text,
             "json_roundtrip": q_json_roundtrip,
+            "text_stats": q_text_stats,
+            "text_langid": q_text_langid,
+            "text_fingerprint": q_text_fingerprint,
+            "dedup_exact": q_dedup_exact,
+            "dedup_jaccard": q_dedup_jaccard,
+            "dedup_minhash": q_dedup_minhash,
+            "dedup_simhash": q_dedup_simhash,
+            "ann_topk": q_ann_topk,
+            "ann_lsh_topk": q_ann_lsh_topk,
+            "media_features": q_media_features,
         }
     )
     return out
@@ -419,4 +534,92 @@ def oracle_sql() -> dict[str, str]:
     out["json_roundtrip"] = _duck(
         "SELECT CAST(count(*) AS BIGINT) AS n_roundtripped FROM transcripts"
     )
+    out.update(_doc_oracles())
     return out
+
+
+def _doc_oracles() -> dict[str, str]:
+    from satya_spark.docfix import docs_with_clause
+    from satya_spark.functions import text as tx
+    from satya_spark.functions.dedup import MINHASH_K, SIMHASH_BITS
+
+    W = docs_with_clause()
+    o: dict[str, str] = {}
+    o["text_stats"] = W + (
+        f" SELECT doc_id, CAST({tx.token_count_ws_sql('text')} AS INT) AS n_tok_ws, "
+        f"CAST({tx.token_count_bpe_sql('text')} AS INT) AS n_tok_bpe, "
+        f"{tx.punct_ratio_sql('text')} AS punct_ratio, "
+        f"{tx.quality_score_sql('text')} AS quality FROM docs"
+    )
+    o["text_langid"] = W + (
+        f" SELECT doc_id, lang, {tx.lang_id_sql('text')} AS lang_pred, "
+        f"{tx.lang_id_sql('text')} = lang AS correct FROM docs"
+    )
+    o["text_fingerprint"] = W + (
+        f" SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs"
+    )
+    o["dedup_exact"] = W + (
+        f", fps AS (SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs) "
+        "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS canonical_id "
+        "FROM fps GROUP BY fp HAVING count(*) > 1"
+    )
+    toks_sql = f"list_distinct({tx.tokens_ws_sql('text')})"
+    jac_sql = (
+        "round(CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+        " / len(list_distinct(list_concat({a}, {b}))), 6)"
+    )
+    o["dedup_jaccard"] = W + (
+        f", t AS (SELECT doc_id, lang, {toks_sql} AS toks, "
+        f"CAST(floor(len({toks_sql}) / 5.0) AS INT) AS band FROM docs) "
+        "SELECT id_a, id_b, jac FROM ("
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        + jac_sql.format(a="a.toks", b="b.toks")
+        + " AS jac FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id"
+        " AND (a.band = b.band OR a.band + 1 = b.band)) p WHERE jac >= 0.6"
+    )
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(toks, x -> ('0x' || substring(md5('mh{i}:' || x), 1, 15))::BIGINT), 'min') AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || ',' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sig"
+        for b in range(MINHASH_K // 2)
+    )
+    o["dedup_minhash"] = W + (
+        f", t AS (SELECT doc_id, {toks_sql} AS toks FROM docs)"
+        f", sig AS (SELECT doc_id, toks, {mh_cols} FROM t)"
+        f", bb AS ({band_selects})"
+        ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bb a"
+        " JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, jac FROM (SELECT id_a, id_b, "
+        + jac_sql.format(a="ta.toks", b="tb.toks")
+        + " AS jac FROM cand JOIN t ta ON ta.doc_id = id_a"
+        " JOIN t tb ON tb.doc_id = id_b) p WHERE jac >= 0.6"
+    )
+    bit_sums = ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END * {2**b})" for b in range(SIMHASH_BITS)
+    )
+    o["dedup_simhash"] = W + (
+        f", toks AS (SELECT doc_id, unnest({toks_sql}) AS tok FROM docs)"
+        ", h AS (SELECT doc_id, ('0x' || substring(md5('sh:' || tok), 1, 15))::BIGINT AS h FROM toks)"
+        f", agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM agg"
+    )
+    cos = (
+        "round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6)"
+    )
+    o["ann_topk"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10), "
+        f"s AS (SELECT q.query_id, c.vec_id, {cos} AS cos_sim "
+        "FROM embeddings c, q WHERE c.vec_id <> q.query_id) "
+        "SELECT query_id, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank, "
+        "vec_id, cos_sim FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 5"
+    )
+    return o

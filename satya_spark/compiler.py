@@ -288,41 +288,66 @@ class CompiledSpec:
             out = out & ~F.coalesce(r.fail, F.lit(False))
         return out
 
+    VIOLATION_TYPE = (
+        "array<struct<field:string,constraint_name:string,offending_value:string>>"
+    )
+
     def violations_array_col(self):
         """array<struct<field,constraint_name,offending_value>> per
         row — the accumulate-all-errors shape
-        (``src/satya/validator.py:219-275``)."""
+        (``src/satya/validator.py:219-275``).
+
+        Perf note: a higher-order ``filter`` over a rule array is NOT
+        whole-stage-codegen'd (array lambdas are CodegenFallback and
+        poison the enclosing projection into interpreted eval — ~10×
+        slower measured). Instead: ``concat`` of per-rule conditional
+        singleton arrays, every node of which codegens. The empty
+        branch is free; only actually-failing (row, rule) pairs build
+        a struct — the columnar analog of satya's is-simple fast path
+        (``src/lib.rs:229-237``).
+        """
         from pyspark.sql import functions as F
 
-        elems = [
+        empty = F.array().cast(self.VIOLATION_TYPE)
+        parts = [
             F.when(
                 F.coalesce(r.fail, F.lit(False)),
-                F.struct(
-                    F.lit(r.field).alias("field"),
-                    F.lit(r.constraint).alias("constraint_name"),
-                    r.offending.alias("offending_value"),
+                F.array(
+                    F.struct(
+                        F.lit(r.field).alias("field"),
+                        F.lit(r.constraint).alias("constraint_name"),
+                        r.offending.alias("offending_value"),
+                    )
                 ),
-            )
+            ).otherwise(empty)
             for r in self.rules
         ]
-        arr = F.array(*elems)
-        return F.filter(arr, lambda x: x.isNotNull())
+        return F.concat(*parts)
 
     def with_validation(self, df):
-        """One-scan: input columns + ``valid`` + ``violations``."""
-        return df.withColumns(
-            {"valid": self.valid_col(), "violations": self.violations_array_col()}
-        )
+        """One-scan: input columns + ``valid`` + ``violations``.
+
+        ``valid`` is derived as ``size(violations) == 0`` rather than
+        re-evaluating the kernel conjunction: codegen subexpression
+        elimination then computes the rule array once per row.
+        """
+        from pyspark.sql import functions as F
+
+        out = df.withColumn("violations", self.violations_array_col())
+        return out.withColumn("valid", F.size("violations") == 0)
 
     def violations_df(self, df, key_cols: List[str]):
         """Exploded violation rows (key..., field, constraint_name,
-        offending_value) — single scan, codegen'd."""
+        offending_value). The array is projected and filtered to
+        non-empty BEFORE the Generate so the (rare) violating rows are
+        the only ones reaching explode."""
         from pyspark.sql import functions as F
 
-        v = self.violations_array_col()
-        return (
-            df.select(*key_cols, F.explode(v).alias("v"))
-            .select(*key_cols, "v.field", "v.constraint_name", "v.offending_value")
+        tmp = df.select(
+            *key_cols, self.violations_array_col().alias("__viol")
+        ).filter(F.size("__viol") > 0)
+        return tmp.select(*key_cols, F.explode("__viol").alias("v")).select(
+            *key_cols, "v.field", "v.constraint_name", "v.offending_value"
         )
 
     # ---- oracle side --------------------------------------------------

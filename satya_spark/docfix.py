@@ -1,0 +1,31 @@
+"""Document fixture: the driver's ``documents`` table plus planted
+exact and near duplicates (deterministic modulus sites), identical in
+Spark SQL and DuckDB — the documents analog of transcripts.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCS_CTE = """
+docs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 97 = 0          -- exact dups
+  UNION ALL
+  SELECT doc_id + 200000, concat(text, ' zz'), lang, source, n_chars
+  FROM documents WHERE doc_id % 89 = 0          -- near dups (one extra token)
+)
+"""
+
+
+def docs_with_clause() -> str:
+    return "WITH " + DOCS_CTE
+
+
+def docs_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(docs_with_clause() + " SELECT * FROM docs")

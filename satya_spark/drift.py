@@ -9,16 +9,16 @@ length). Design for 10^12 rows:
   side reduces to a tiny histogram via one map-side-combinable
   ``groupBy(bucket).count()``. Approximation error is bounded by the
   bucket width (documented, not silent).
-* Histograms are joined on bucket id (≤ dozens of rows — broadcast,
-  effectively free) and the statistic is computed with window
-  cumulative sums over the tiny joined frame.
+* When both populations live in one table (A/B halves, old/new
+  snapshot column), :func:`pair_from_split` histograms BOTH in a
+  single aggregation pass — one shuffle of ≤ n_buckets×2 groups.
+* The statistic itself is computed on the tiny paired frame (window
+  cumsum for KS, log-ratio for PSI) — effectively free.
 * Bucketing is plain integer arithmetic (``least(floor(x/w), n-1)``)
   — portable to the DuckDB oracle, unlike ``width_bucket``.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -50,27 +50,48 @@ def _full_grid(spark, n_buckets: int) -> DataFrame:
     return spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
 
 
-def psi(
-    ref_hist: DataFrame,
-    cur_hist: DataFrame,
-    n_buckets: int,
-    eps: float = PSI_EPS,
+def pair_from_hists(
+    ref_hist: DataFrame, cur_hist: DataFrame, n_buckets: int
 ) -> DataFrame:
-    """Population Stability Index per bucket + total.
-
-    psi_contrib_b = (p_b - q_b) * ln(p_b / q_b) with ε-smoothed
-    proportions. Returns (bucket, p, q, psi_contrib) — tiny frame.
-    Use :func:`psi_total` for the scalar.
-    """
+    """Grid-complete (bucket, n_ref, n_cur) from two histograms."""
     spark = ref_hist.sparkSession
-    grid = _full_grid(spark, n_buckets)
-    r = grid.join(ref_hist.withColumnRenamed("n", "n_ref"), "bucket", "left")
+    r = _full_grid(spark, n_buckets)
+    r = r.join(ref_hist.withColumnRenamed("n", "n_ref"), "bucket", "left")
     r = r.join(cur_hist.withColumnRenamed("n", "n_cur"), "bucket", "left")
-    r = r.fillna(0, subset=["n_ref", "n_cur"])
-    tot = r.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    return r.fillna(0, subset=["n_ref", "n_cur"])
+
+
+def pair_from_split(
+    df: DataFrame,
+    value_col: str,
+    half_col: Column,
+    width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Both populations histogrammed in ONE aggregation pass:
+    half==0 → ref, half==1 → cur."""
+    spark = df.sparkSession
+    h = (
+        df.select(
+            bucketize(F.col(value_col), width, n_buckets).alias("bucket"),
+            half_col.alias("__half"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("__half") == 0).cast("long")).alias("n_ref"),
+            F.sum((F.col("__half") == 1).cast("long")).alias("n_cur"),
+        )
     )
-    r = r.crossJoin(F.broadcast(tot))
+    grid = _full_grid(spark, n_buckets)
+    return grid.join(h, "bucket", "left").fillna(0, subset=["n_ref", "n_cur"])
+
+
+def psi_pair(pair: DataFrame, eps: float = PSI_EPS) -> DataFrame:
+    """Population Stability Index per bucket: (bucket, p, q,
+    psi_contrib) with ε-smoothed proportions. Tiny frame in, tiny
+    frame out."""
+    tot = pair.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    r = pair.crossJoin(F.broadcast(tot))
     p = F.col("n_ref").cast("double") / F.col("t_ref") + F.lit(eps)
     q = F.col("n_cur").cast("double") / F.col("t_cur") + F.lit(eps)
     return r.select(
@@ -81,6 +102,33 @@ def psi(
     ).orderBy("bucket")
 
 
+def ks_pair(pair: DataFrame) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov on the paired histogram:
+    max |ECDF_ref − ECDF_cur| over bucket edges (exact up to bucket
+    width). Single row (ks_stat). The unpartitioned window is over
+    ≤ n_buckets rows — intentionally tiny."""
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = pair.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    r = pair.crossJoin(F.broadcast(tot))
+    cdf_ref = F.sum("n_ref").over(w).cast("double") / F.col("t_ref")
+    cdf_cur = F.sum("n_cur").over(w).cast("double") / F.col("t_cur")
+    return r.select(F.abs(cdf_ref - cdf_cur).alias("gap")).agg(
+        F.round(F.max("gap"), 6).alias("ks_stat")
+    )
+
+
+# --- legacy two-histogram API (kept for external ref snapshots) ----------
+
+
+def psi(
+    ref_hist: DataFrame,
+    cur_hist: DataFrame,
+    n_buckets: int,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    return psi_pair(pair_from_hists(ref_hist, cur_hist, n_buckets), eps)
+
+
 def psi_total(psi_df: DataFrame) -> float:
     row = psi_df.agg(F.sum("psi_contrib").alias("psi")).collect()[0]
     return float(row["psi"])
@@ -89,20 +137,4 @@ def psi_total(psi_df: DataFrame) -> float:
 def ks_binned(
     ref_hist: DataFrame, cur_hist: DataFrame, n_buckets: int
 ) -> DataFrame:
-    """Binned two-sample Kolmogorov–Smirnov: max |ECDF_ref - ECDF_cur|
-    over bucket edges. Exact up to bucket-width resolution. Returns a
-    single row (ks_stat)."""
-    spark = ref_hist.sparkSession
-    grid = _full_grid(spark, n_buckets)
-    r = grid.join(ref_hist.withColumnRenamed("n", "n_ref"), "bucket", "left")
-    r = r.join(cur_hist.withColumnRenamed("n", "n_cur"), "bucket", "left")
-    r = r.fillna(0, subset=["n_ref", "n_cur"])
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    tot = r.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
-    r = r.crossJoin(F.broadcast(tot))
-    cdf_ref = F.sum("n_ref").over(w).cast("double") / F.col("t_ref")
-    cdf_cur = F.sum("n_cur").over(w).cast("double") / F.col("t_cur")
-    gap = F.abs(cdf_ref - cdf_cur)
-    return r.select(gap.alias("gap")).agg(
-        F.round(F.max("gap"), 6).alias("ks_stat")
-    )
+    return ks_pair(pair_from_hists(ref_hist, cur_hist, n_buckets))

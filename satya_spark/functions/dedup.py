@@ -1,0 +1,274 @@
+"""Deduplication kernels for training-data pipelines.
+
+Four tiers, all deterministic and (except the LSH scale path)
+oracle-checkable against DuckDB:
+
+* **exact** — md5 fingerprint of normalized text, hash groupBy.
+  At 100 TB this is the one-shuffle baseline (fingerprints are tiny;
+  map-side combine collapses most groups).
+* **n-gram Jaccard** — token-set Jaccard over *blocked* candidate
+  pairs (same language + token-count band). Blocking bounds the
+  quadratic term; the block key is the shuffle key.
+* **MinHash + LSH** — k portable hash functions (md5-derived 63-bit
+  ints, identical in Spark and DuckDB), banded into b buckets;
+  candidate pairs share a band bucket; verified with true Jaccard.
+  This is the scale path: cost is O(n·k) + one shuffle per band join.
+* **SimHash** — 16-bit sign-of-weighted-sum signature via one
+  explode + groupBy (all codegen'd aggregates); near-dups = pairs at
+  hamming distance ≤ d within a block.
+
+Embedding-cosine near-dup lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, norm_text, tokens_ws
+
+MINHASH_K = 8  # signature length
+MINHASH_BANDS = 4  # bands of 2 rows each
+
+
+def portable_hash64(col: Column, seed: str) -> Column:
+    """Deterministic 63-bit integer hash identical in Spark and
+    DuckDB: first 15 hex chars of md5(seed || token)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def portable_hash64_sql(expr: str, seed: str) -> str:
+    return f"('0x' || substring(md5('{seed}' || {expr}), 1, 15))::BIGINT"
+
+
+# --- exact ---------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_docs, canonical_id) for every duplicated
+    normalized text. canonical = min id (keep-first policy)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- n-gram Jaccard ------------------------------------------------------
+
+
+def _blocked_pairs(
+    with_tokens: DataFrame, id_col: str, block_cols: Sequence[str]
+) -> DataFrame:
+    a = with_tokens.select(
+        F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    b = with_tokens.select(
+        F.col(id_col).alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    cond = [a[c] == b[f"__b_{c}"] for c in block_cols]
+    joined = a.join(b, cond, "inner").filter(F.col("id_a") < F.col("id_b"))
+    return joined
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    band_width: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard ≥ threshold, blocked by
+    (lang, token-count band). Returns (id_a, id_b, jac)."""
+    t = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.array_distinct(tokens_ws(F.col(text_col))).alias("toks"),
+    ).withColumn(
+        # floor explicitly: Spark CAST(double AS INT) truncates while
+        # DuckDB rounds — floor makes both dialects agree
+        "tc_band", F.floor(F.size("toks") / F.lit(band_width)).cast("int")
+    )
+    # a doc one token longer can fall in the next band — join both
+    left = t
+    right = t.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lang_col).alias("lang_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("tc_band").alias("band_b"),
+    )
+    joined = left.join(
+        right,
+        (F.col(lang_col) == F.col("lang_b"))
+        & (F.col(id_col) < F.col("id_b"))
+        & (
+            (F.col("tc_band") == F.col("band_b"))
+            | (F.col("tc_band") + 1 == F.col("band_b"))
+        ),
+    )
+    inter = F.size(F.array_intersect("toks", "toks_b"))
+    union = F.size(F.array_distinct(F.concat("toks", "toks_b")))
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        joined.select(
+            F.col(id_col).alias("id_a"), F.col("id_b"), jac.alias("jac")
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def _seeded_hasher(seed: str):
+    # NB: must be a 1-arg callable — a 2-parameter lambda (even with a
+    # default) makes F.transform pass the ARRAY INDEX as 2nd argument,
+    # silently clobbering the seed.
+    return lambda t: portable_hash64(t, seed)
+
+
+def minhash_signature(toks: Column, k: int = MINHASH_K) -> list[Column]:
+    """k min-hash values over the token set (empty set → nulls)."""
+    out = []
+    for i in range(k):
+        hashed = F.transform(toks, _seeded_hasher(f"mh{i}:"))
+        out.append(F.array_min(hashed).alias(f"mh{i}"))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    toks = F.array_distinct(tokens_ws(F.col(text_col)))
+    return df.select(F.col(id_col), *minhash_signature(toks, k))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band bucket. Band bucket =
+    md5 of the band's signature slice. One self-join per run, keyed
+    by (band_idx, bucket) — the classic shuffle-bounded LSH join."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    buckets = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+        buckets.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*buckets)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    b_ = exploded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified with true token-set Jaccard — the
+    scalable near-dup pipeline (candidates are a tiny fraction of
+    n²; verification joins token sets back by id)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col)
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens_ws(F.col(text_col))).alias("toks"),
+    )
+    j = (
+        cands.join(toks.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
+        .join(toks.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_distinct(F.concat("toks_a", "toks_b")))
+    jac = F.round(inter.cast("double") / union, 6)
+    return j.select("id_a", "id_b", jac.alias("jac")).filter(
+        F.col("jac") >= threshold
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash: per bit, sign of Σ_tokens (±1 by token-hash
+    bit). One explode + one groupBy with 16 codegen'd sums — no
+    per-row Python, no HOF in the aggregate."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_ws(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", portable_hash64(F.col("tok"), "sh:"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(
+            2**b
+        )
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ max_hamming, blocked by
+    language. popcount via bit_count (both engines)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    base = df.select(id_col, lang_col).join(sigs, id_col)
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lang_col).alias("lang_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    j = base.join(
+        b, (F.col(lang_col) == F.col("lang_b")) & (F.col(id_col) < F.col("id_b"))
+    )
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b")))
+    return j.select(
+        F.col(id_col).alias("id_a"), "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* **Brute-force cosine top-k** — exact baseline. The query set is
+  broadcast (it's small by definition); similarity is a codegen'd
+  fold over the zipped arrays; top-k via window row_number with a
+  deterministic tie-break. At 100 TB the corpus side streams through
+  executors with NO shuffle — only the broadcast and the final
+  per-query top-k (tiny) move.
+* **LSH-bucketed ANN** — sign-of-hyperplane sketches with
+  deterministic pseudo-random planes (md5-derived, seedable). Each
+  vector maps to a bucket; queries probe their own bucket only,
+  turning the scan into a bucket-pruned join. Recall/cost trades via
+  n_planes. This is the scale path; brute force is its oracle.
+
+A vectorized pandas-UDF dot product is deliberately NOT the default:
+the arithmetic fold stays in the JVM and avoids Arrow transfer; for
+very wide vectors (≥1k dims) switch to mapInPandas + numpy
+(multimodal.py shows the pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as an ordered left fold (deterministic FP order —
+    reproducible and engine-portable)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Returns
+    (query_id, rank, vec_id, cos_sim). Ties broken by vec_id so the
+    result is total-order deterministic."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    j = corpus.crossJoin(q).filter(F.col(query_id_col) != F.col(id_col))
+    sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    ranked = (
+        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(query_id_col, "rank", id_col, "cos_sim")
+
+
+# --- LSH scale path --------------------------------------------------------
+
+
+def _plane_component(seed: str, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:p{plane}:d{dim}".encode()).digest()
+    v = int.from_bytes(h[:8], "big")
+    return (v / 2**63) - 1.0
+
+
+def lsh_bucket(
+    vec: Column, n_planes: int, dims: int, seed: str = "ann"
+) -> Column:
+    """Sign sketch: bit_p = [vec · plane_p > 0]; bucket = Σ bit·2^p.
+    Planes are constants folded into the plan — zero runtime cost
+    beyond the dot products."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        comps = [
+            F.element_at(vec, d + 1).cast("double")
+            * F.lit(_plane_component(seed, p, d))
+            for d in range(dims)
+        ]
+        s = comps[0]
+        for c in comps[1:]:
+            s = s + c
+        bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within the bucket. With 2^p
+    buckets the scanned fraction is ~2^-p of the corpus."""
+    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), n_planes, dims).alias("__bucket"),
+    )
+    j = c.join(F.broadcast(q), "__bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: same-LSH-bucket pairs with
+    cosine ≥ threshold (near-identical vectors collide with high
+    probability under the sign sketch)."""
+    b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
+    r = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__bucket"),
+    )
+    j = b.join(r, "__bucket").filter(F.col(id_col) < F.col("id_b"))
+    sim = F.round(cosine(F.col(vec_col), F.col("vec_b")), 6)
+    return j.select(
+        F.col(id_col).alias("id_a"), "id_b", sim.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)

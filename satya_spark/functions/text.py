@@ -1,0 +1,176 @@
+"""Text-analysis kernels over document/transcript text.
+
+Everything here is a pure ``Column`` builder (JVM-side, codegen) with
+a DuckDB-SQL twin for the differential oracle — same design as the
+constraint compiler (satya_spark/compiler.py). No Python in the data
+plane.
+
+Kernels: whitespace + BPE-ish token counting, punctuation/stopword
+ratios, a composite quality score, n-gram-heuristic language ID, and
+md5 document fingerprinting (the deterministic, portable stand-in for
+a rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_CLASS = r"[.,!?;:]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "nicht", "mit", "ich"),
+    "fr": ("le", "la", "et", "est", "un", "une", "de", "que", "pas", "pour"),
+    "es": ("el", "la", "es", "un", "una", "que", "de", "no", "por", "los"),
+}
+CJK_PATTERN = r"[一-鿿]"
+
+
+def norm_text(col: Column) -> Column:
+    """Whitespace-normalized lowercase text (dedup canonical form)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def norm_text_sql(name: str) -> str:
+    return f"trim(regexp_replace(lower({name}), '\\s+', ' ', 'g'))"
+
+
+def tokens_ws(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (empty text → [])."""
+    return F.when(F.length(norm_text(col)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm_text(col), " ")
+    )
+
+
+def tokens_ws_sql(name: str) -> str:
+    n = norm_text_sql(name)
+    return (
+        f"CASE WHEN length({n}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split({n}, ' ') END"
+    )
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(tokens_ws(col))
+
+
+def token_count_ws_sql(name: str) -> str:
+    return f"len({tokens_ws_sql(name)})"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: regex pre-tokenization match count."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def token_count_bpe_sql(name: str) -> str:
+    return f"len(regexp_extract_all({name}, '{BPE_PATTERN}'))"
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    n = F.length(col)
+    p = n - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(p.cast("double") / n, 6)
+    )
+
+
+def punct_ratio_sql(name: str) -> str:
+    return (
+        f"CASE WHEN length({name}) = 0 THEN 0.0 ELSE "
+        f"round(CAST(length({name}) - length(regexp_replace({name}, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)"
+        f" / length({name}), 6) END"
+    )
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    """# tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    toks = tokens_ws(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_hits_sql(name: str, lang: str = "en") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({tokens_ws_sql(name)}, t -> t IN ({words})))"
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    n = token_count_ws(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(stopword_hits(col, lang).cast("double") / n, 6)
+    )
+
+
+def stopword_ratio_sql(name: str, lang: str = "en") -> str:
+    return (
+        f"CASE WHEN {token_count_ws_sql(name)} = 0 THEN 0.0 ELSE "
+        f"round(CAST({stopword_hits_sql(name, lang)} AS DOUBLE)"
+        f" / {token_count_ws_sql(name)}, 6) END"
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct +
+    nonzero stopword signal. Deterministic arithmetic only."""
+    n = F.length(col)
+    len_ok = F.when((n >= 50) & (n <= 5000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col, "en") > 0.02, F.lit(0.25)).otherwise(
+        F.lit(0.0)
+    )
+    return F.when(F.coalesce(n, F.lit(0)) == 0, F.lit(0.0)).otherwise(
+        F.round(len_ok + punct_ok + stop_ok, 2)
+    )
+
+
+def quality_score_sql(name: str) -> str:
+    # CAST to DOUBLE: bare decimal literals make DuckDB produce
+    # DECIMAL(_,2) ('1.00') where Spark produces DOUBLE ('1.0')
+    return (
+        f"CASE WHEN coalesce(length({name}), 0) = 0 THEN 0.0 ELSE "
+        f"round(CAST((CASE WHEN length({name}) BETWEEN 50 AND 5000 THEN 0.5 ELSE 0.0 END)"
+        f" + (CASE WHEN {punct_ratio_sql(name)} < 0.1 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {stopword_ratio_sql(name, 'en')} > 0.02 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) END"
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: CJK chars → zh, else argmax of
+    per-language stopword hits (ties broken by fixed language order
+    en>de>fr>es; no hits → 'und')."""
+    hits = {l: stopword_hits(col, l) for l in ("en", "de", "fr", "es")}
+    best = F.greatest(*hits.values())
+    out = F.when(col.rlike(CJK_PATTERN), F.lit("zh")).when(best == 0, F.lit("und"))
+    for l in ("en", "de", "fr", "es"):
+        out = out.when(hits[l] == best, F.lit(l))
+    return out
+
+
+def lang_id_sql(name: str) -> str:
+    h = {l: stopword_hits_sql(name, l) for l in ("en", "de", "fr", "es")}
+    best = f"greatest({h['en']}, {h['de']}, {h['fr']}, {h['es']})"
+    branches = "".join(
+        f" WHEN {h[l]} = {best} THEN '{l}'" for l in ("en", "de", "fr", "es")
+    )
+    return (
+        f"CASE WHEN regexp_matches({name}, '{CJK_PATTERN}') THEN 'zh'"
+        f" WHEN {best} = 0 THEN 'und'{branches} END"
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized
+    text (portable across engines, unlike xxhash64)."""
+    return F.md5(norm_text(col))
+
+
+def fingerprint_sql(name: str) -> str:
+    return f"md5({norm_text_sql(name)})"
