@@ -371,8 +371,31 @@ class CompiledSpec:
         )
 
 
+def compile_row_rule(rule) -> CompiledRule:
+    """Cross-field custom rule (@model_validator analog,
+    src/satya/validators.py:110-140) → a CompiledRule on the pseudo
+    field '<row>' so violation rows carry (field='<row>',
+    constraint=<rule name>)."""
+
+    def _off():
+        from pyspark.sql import functions as F
+
+        return F.lit(None).cast("string")
+
+    return CompiledRule(
+        field="<row>",
+        constraint=rule.name,
+        fail_fn=rule.fail_fn,
+        fail_sql=rule.fail_sql or "FALSE /* non-SQL custom rule */",
+        offending_fn=_off,
+        offending_sql="CAST(NULL AS VARCHAR)",
+    )
+
+
 def compile_spec(spec: TableSpec) -> CompiledSpec:
     rules: List[CompiledRule] = []
     for f in spec.fields:
         rules.extend(compile_field(f))
+    for rr in spec.row_rules:
+        rules.append(compile_row_rule(rr))
     return CompiledSpec(spec=spec, rules=rules)

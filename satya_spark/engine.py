@@ -60,6 +60,45 @@ class ValidationEngine:
         self.spec = spec
         self.compiled: CompiledSpec = compile_spec(spec)
         self.n_shards = n_shards
+        # lineage/shard key: first unique-key column, else first field
+        self.shard_key = (
+            spec.unique_key[0] if spec.unique_key else spec.fields[0].name
+        )
+
+    # --- stage 0: schema policy -----------------------------------------
+    def schema_violations(self, df: DataFrame) -> list:
+        """Table-level schema diff (extra-field policy,
+        ``src/satya/__init__.py:270-276, 869-879``): unknown columns
+        (error iff spec.extra == 'forbid') and declared-but-missing
+        columns (always an error for required fields). Driver-side —
+        schema inspection touches no data."""
+        declared = set(self.spec.field_names())
+        present = set(df.columns)
+        out = []
+        if self.spec.extra == "forbid":
+            for c in sorted(present - declared):
+                out.append({"field": c, "constraint": "extra_field"})
+        for f in self.spec.fields:
+            if f.name not in present and f.required:
+                out.append({"field": f.name, "constraint": "missing_column"})
+        return out
+
+    def conform(self, df: DataFrame) -> DataFrame:
+        """Make the frame validatable: add declared-but-absent
+        columns as typed nulls (missing key ≡ null, SURVEY.md §2.2)
+        and, under 'forbid', drop unknown columns after
+        schema_violations() has reported them."""
+        from .coerce import spark_type
+
+        declared = self.spec.field_names()
+        cols = list(df.columns)
+        out = df
+        for f in self.spec.fields:
+            if f.name not in cols:
+                out = out.withColumn(f.name, F.lit(None).cast(spark_type(f.dtype)))
+        if self.spec.extra == "forbid":
+            out = out.select(*declared)
+        return out
 
     # --- stage 1: row kernels -----------------------------------------
     def annotate(self, df: DataFrame) -> DataFrame:
@@ -69,7 +108,7 @@ class ValidationEngine:
         computes the rule array once); the per-row violation cap is
         applied here (never silent: n_rule_violations in the shard
         verdicts counts the capped array)."""
-        out = df.withColumn("shard", shard_col(self.n_shards))
+        out = df.withColumn("shard", shard_col(self.n_shards, self.shard_key))
         out = out.withColumn(
             "violations",
             F.slice(
@@ -78,7 +117,9 @@ class ValidationEngine:
         )
         return out.withColumn("valid", F.size("violations") == 0)
 
-    def violations(self, df: DataFrame, keys: Sequence[str] = ("conv_id", "turn_idx")) -> DataFrame:
+    def violations(self, df: DataFrame, keys: Optional[Sequence[str]] = None) -> DataFrame:
+        if keys is None:
+            keys = self.spec.unique_key or (self.spec.fields[0].name,)
         return self.compiled.violations_df(df, list(keys))
 
     # --- stage 2: per-shard verdicts ------------------------------------
@@ -99,7 +140,7 @@ class ValidationEngine:
             pre = df.select("shard", F.size("violations").alias("nv"))
         else:
             pre = df.select(
-                shard_col(self.n_shards).alias("shard"),
+                shard_col(self.n_shards, self.shard_key).alias("shard"),
                 F.size(
                     F.slice(
                         self.compiled.violations_array_col(),
@@ -131,11 +172,12 @@ class ValidationEngine:
             if self.spec.unique_key
             else None
         )
+        key_cols = list(self.spec.unique_key or (self.spec.fields[0].name,))
         refs: Dict[str, DataFrame] = {}
         for col, cat_name in self.spec.references:
             if catalogs and cat_name in catalogs:
                 refs[col] = crossrow.referential_violations(
-                    df, col, catalogs[cat_name], keys=["conv_id", "turn_idx"]
+                    df, col, catalogs[cat_name], keys=key_cols
                 )
         nulls: Dict[str, DataFrame] = {}
         for f in self.spec.fields:
@@ -172,7 +214,7 @@ class ValidationEngine:
         manifest = Manifest(spark, manifest_path)
         run_id = run_id or new_run_id()
 
-        with_shard = df.withColumn("shard", shard_col(self.n_shards))
+        with_shard = df.withColumn("shard", shard_col(self.n_shards, self.shard_key))
         todo = pending_shards(with_shard, manifest).drop("shard")
         annotated = self.annotate(todo)
         t0 = time.monotonic()

@@ -41,7 +41,7 @@ Semantics preserved from the reference (authoritative paths):
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 # Simplified RFC email regex, verbatim from src/lib.rs:947-951 /
 # src/blaze_validator.rs:11-13.
@@ -92,6 +92,16 @@ class FieldSpec:
     # table-level extension (north rule): max tolerated null fraction
     max_null_rate: Optional[float] = None
 
+    # ingest-time transforms (declared on Field in the reference,
+    # src/satya/__init__.py:125-127; applied by satya_spark.coerce)
+    strip_whitespace: bool = False
+    to_lower: bool = False
+    to_upper: bool = False
+
+    # default applied to missing/null optionals in coercion mode
+    # (src/satya/__init__.py:369-381)
+    default: Any = None
+
     def constraints(self) -> list[str]:
         """Names of active constraints, in deterministic order."""
         out: list[str] = []
@@ -106,6 +116,22 @@ class FieldSpec:
             if v not in (None, False):
                 out.append(c)
         return out
+
+
+@dataclass(frozen=True)
+class RowRule:
+    """Cross-field (whole-record) rule — the ``@model_validator``
+    analog (``src/satya/validators.py:110-140``): a custom boolean
+    expression over multiple columns. ``fail_fn`` builds a Column
+    that is TRUE on violating rows (lazy: no session needed to
+    declare); ``fail_sql`` is the optional DuckDB twin for the
+    differential oracle. Field-scoped custom checks (the
+    ``@field_validator`` analog, ``src/satya/validators.py:66-107``)
+    are the same thing with a single-column predicate."""
+
+    name: str
+    fail_fn: Callable[[], Any]  # () -> Column
+    fail_sql: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -124,6 +150,8 @@ class TableSpec:
     references: Tuple[Tuple[str, str], ...] = ()
     # extra-field policy: 'ignore' | 'forbid' (src/satya/__init__.py:270-276)
     extra: str = "ignore"
+    # custom cross-field validators (@model_validator analog)
+    row_rules: Tuple[RowRule, ...] = ()
 
     def field(self, name: str) -> FieldSpec:
         for f in self.fields:

@@ -1,0 +1,122 @@
+"""Structured Streaming validation (SURVEY.md §2.7): micro-batch
+kernel evaluation, foreachBatch verdict/violation sinks, event-time
+windowed violation counts with watermark."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from satya_spark.spec import FieldSpec, TableSpec
+from satya_spark.streaming.validate_stream import (
+    annotate_stream,
+    read_ndjson_stream,
+    run_stream_to_sink,
+    windowed_violation_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+SPEC = TableSpec(
+    name="stream",
+    fields=(
+        FieldSpec("conv_id", "string", required=True),
+        FieldSpec("turn_idx", "int", required=True, ge=0),
+        FieldSpec("role", "string", required=True,
+                  enum=("system", "user", "assistant", "tool")),
+    ),
+)
+
+
+def _write_ndjson(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_validate_end_to_end(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_ndjson(
+        indir / "batch1.ndjson",
+        [
+            {"conv_id": "c1", "turn_idx": 0, "role": "system", "ts": "2024-01-01T00:00:00Z"},
+            {"conv_id": "c1", "turn_idx": 1, "role": "moderator", "ts": "2024-01-01T00:00:30Z"},
+            {"conv_id": "c2", "turn_idx": -1, "role": "user", "ts": "2024-01-01T00:01:10Z"},
+        ],
+    )
+    stream = read_ndjson_stream(spark, str(indir), SCHEMA)
+    assert stream.isStreaming
+    ann = annotate_stream(stream, SPEC)
+    q = run_stream_to_sink(
+        ann,
+        verdict_path=str(tmp_path / "verdicts"),
+        violations_path=str(tmp_path / "violations"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    verd = spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    assert sum(r["n_rows"] for r in verd) == 3
+    assert sum(r["n_invalid"] for r in verd) == 2
+    viol = spark.read.parquet(str(tmp_path / "violations")).collect()
+    got = {(r["field"], r["constraint_name"]) for r in viol}
+    assert got == {("role", "enum"), ("turn_idx", "ge")}
+
+    # resume: same checkpoint, new file -> only the new rows processed
+    _write_ndjson(
+        indir / "batch2.ndjson",
+        [{"conv_id": "c3", "turn_idx": 0, "role": "user", "ts": "2024-01-01T00:02:00Z"}],
+    )
+    stream2 = read_ndjson_stream(spark, str(indir), SCHEMA)
+    q2 = run_stream_to_sink(
+        annotate_stream(stream2, SPEC),
+        verdict_path=str(tmp_path / "verdicts"),
+        violations_path=str(tmp_path / "violations"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    verd2 = spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    assert sum(r["n_rows"] for r in verd2) == 4  # 3 + 1, not 6
+
+
+def test_windowed_violation_counts(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_ndjson(
+        indir / "b.ndjson",
+        [
+            {"conv_id": "c1", "turn_idx": 0, "role": "system", "ts": "2024-01-01T00:00:10Z"},
+            {"conv_id": "c1", "turn_idx": 1, "role": "bad", "ts": "2024-01-01T00:00:20Z"},
+            {"conv_id": "c1", "turn_idx": 2, "role": "user", "ts": "2024-01-01T00:01:40Z"},
+        ],
+    )
+    stream = read_ndjson_stream(spark, str(indir), SCHEMA)
+    # short watermark so the final event (00:01:40) closes the first
+    # window — append mode only emits watermark-closed windows
+    win = windowed_violation_counts(
+        annotate_stream(stream, SPEC), "ts", "1 minute", watermark="10 seconds"
+    )
+    q = (
+        win.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "win"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; with
+    # availableNow the final watermark closes the first window
+    rows = spark.read.parquet(str(tmp_path / "win")).collect()
+    by_start = {str(r["window_start"]): (r["n_rows"], r["n_invalid"]) for r in rows}
+    assert by_start.get("2024-01-01 00:00:00") == (2, 1)
