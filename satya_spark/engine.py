@@ -239,6 +239,16 @@ class ValidationEngine:
         )
         return manifest.read().filter(F.col("run_id") == run_id)
 
+    # --- profiling (per-field counters, src/satya/profiling.py:15-40) ----
+    def field_violation_counts(self, df: DataFrame) -> DataFrame:
+        """(field, constraint_name, n) — the per-field error-counter
+        profile, one scan."""
+        return (
+            self.violations(df)
+            .groupBy("field", "constraint_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     # --- stage 4: drift ----------------------------------------------------
     def drift_check(
         self,

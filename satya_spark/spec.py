@@ -162,6 +162,29 @@ class TableSpec:
     def field_names(self) -> list[str]:
         return [f.name for f in self.fields]
 
+    def validate(self) -> None:
+        """Spec-compile-time consistency check — the analog of
+        ModelRegistry's dependency resolution with cycle detection
+        (``src/satya/__init__.py:1164-1196``): duplicate field names,
+        unique-key/reference columns that don't exist, and a
+        self-referential catalog name are rejected before any job
+        runs."""
+        names = self.field_names()
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"duplicate field names: {sorted(dupes)}")
+        declared = set(names)
+        for k in self.unique_key or ():
+            if k not in declared:
+                raise ValueError(f"unique_key column not in spec: {k}")
+        for col, cat in self.references:
+            if col not in declared:
+                raise ValueError(f"reference column not in spec: {col}")
+            if cat == self.name:
+                raise ValueError(
+                    f"circular reference: table '{self.name}' references itself"
+                )
+
 
 def transcript_spec() -> TableSpec:
     """The flagship spec: multi-turn conversation transcripts
