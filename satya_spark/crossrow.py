@@ -152,6 +152,25 @@ def salted_agg(
     return p1.groupBy(group_col).agg(*[c.alias(n) for n, c in finals.items()])
 
 
+def auto_salt_buckets(
+    df: DataFrame, group_col: str = "conv_id", target_group_rows: int = 1_000_000
+) -> int:
+    """Salt-factor heuristic (SURVEY.md §7.6): one cheap sketch pass
+    — rows / approx distinct groups estimates the MEAN group size;
+    the salt is sized so even a group 100× the mean stays under
+    ``target_group_rows`` per (group, salt) reduce task. Clamped to
+    [1, 256]; 1 means salting is skipped entirely."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(group_col).alias("d"),
+    ).collect()[0]
+    n, d = row["n"], max(row["d"], 1)
+    mean = n / d
+    hot_estimate = mean * 100
+    buckets = int(hot_estimate // target_group_rows) + 1
+    return max(1, min(256, buckets))
+
+
 def conv_stats(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     """Per-conversation stats for drift checks: n_turns, max_turn_idx,
     sum/avg text length. avg is computed as exact-integer sum / count

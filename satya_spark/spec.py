@@ -102,6 +102,9 @@ class FieldSpec:
     # (src/satya/__init__.py:369-381)
     default: Any = None
 
+    # output rename on dump (src/satya/__init__.py:129, 774-776)
+    alias: Optional[str] = None
+
     def constraints(self) -> list[str]:
         """Names of active constraints, in deterministic order."""
         out: list[str] = []
