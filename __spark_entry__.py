@@ -371,6 +371,61 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(spark, 200))
 
 
+# --- events table (second spec deployment + sessionization) ---------------
+
+def q_events_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine on a second table shape: events spec with a
+    JSON-validity custom row rule. Violation rows keyed by event_id."""
+    from satya_spark.compiler import compile_spec
+    from satya_spark.eventfix import events_from_testdata, events_spec
+
+    ev = events_from_testdata(spark, sf_dir)
+    return compile_spec(events_spec()).violations_df(ev, ["event_id"])
+
+
+def q_events_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_id → customer.c_custkey integrity (broadcast anti-join)."""
+    from satya_spark.crossrow import referential_violations
+    from satya_spark.eventfix import events_from_testdata
+
+    ev = events_from_testdata(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return referential_violations(ev, "user_id", cust, keys=["event_id"])
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split at >30-minute gaps
+    (lag + window cumsum), aggregated to (user_id, session_id,
+    n_events, min_event_id, sum_cents). Exact-integer cents avoid
+    float-summation nondeterminism."""
+    from pyspark.sql import Window
+
+    from satya_spark.eventfix import events_from_testdata
+
+    ev = events_from_testdata(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.floor(F.unix_timestamp("ts")).cast("long")
+    prev = F.lag(secs).over(w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(prev.isNull() | ((secs - prev) > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("session_id", F.sum("new_s").over(cum))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: run the full validation pipeline and
     return per-(field, constraint) violation counts."""
@@ -417,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk": q_ann_topk,
             "ann_lsh_topk": q_ann_lsh_topk,
             "media_features": q_media_features,
+            "events_validate": q_events_validate,
+            "events_referential": q_events_referential,
+            "events_sessions": q_events_sessions,
         }
     )
     return out
@@ -535,7 +593,42 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(count(*) AS BIGINT) AS n_roundtripped FROM transcripts"
     )
     out.update(_doc_oracles())
+    out.update(_event_oracles())
     return out
+
+
+def _event_oracles() -> dict[str, str]:
+    from satya_spark.compiler import compile_spec
+    from satya_spark.eventfix import events_spec, events_with_clause
+
+    W = events_with_clause()
+    compiled = compile_spec(events_spec())
+    o: dict[str, str] = {}
+    o["events_validate"] = W + (
+        ", t AS (SELECT * FROM ev) SELECT * FROM (\n"
+        + compiled.violations_sql("t", ["event_id"]).replace("FROM t", "FROM t")
+        + "\n) v"
+    )
+    o["events_referential"] = W + (
+        " SELECT user_id, event_id FROM ev WHERE user_id IS NOT NULL "
+        "AND user_id NOT IN (SELECT c_custkey FROM customer)"
+    )
+    o["events_sessions"] = W + (
+        ", s AS (SELECT user_id, event_id, value, "
+        "CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1 ELSE 0 END AS new_s, "
+        "ts FROM ev), "
+        "sess AS (SELECT user_id, event_id, value, "
+        "CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s) "
+        "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "min(event_id) AS min_event_id, "
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM sess GROUP BY user_id, session_id"
+    )
+    return o
 
 
 def _doc_oracles() -> dict[str, str]:
