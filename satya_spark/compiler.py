@@ -151,11 +151,17 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
     # --- string kernels ---------------------------------------------
     if f.min_length is not None:
         n = f.min_length
-        # trimmed min_length (src/satya/validator.py:226-229)
+        # trimmed min_length (src/satya/validator.py:226-229). The
+        # reference trims with Python str.strip() = ALL whitespace;
+        # SQL trim() strips spaces only, so both dialects use a
+        # regexp strip to match (\t/\n-only strings must fail).
         add(
             "min_length",
-            lambda n=n: FN().length(FN().trim(FN().col(name))) >= n,
-            f"length(trim({name})) >= {n}",
+            lambda n=n: FN().length(
+                FN().regexp_replace(FN().col(name), r"^\s+|\s+$", "")
+            )
+            >= n,
+            f"length(regexp_replace({name}, '^\\s+|\\s+$', '', 'g')) >= {n}",
         )
     if f.max_length is not None:
         n = f.max_length
@@ -309,6 +315,10 @@ class CompiledSpec:
         from pyspark.sql import functions as F
 
         empty = F.array().cast(self.VIOLATION_TYPE)
+        if not self.rules:
+            # constraint-free spec: concat() of zero arrays would type
+            # as STRING — return the typed empty array directly
+            return empty
         parts = [
             F.when(
                 F.coalesce(r.fail, F.lit(False)),

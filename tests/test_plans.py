@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the 100 TB checklist: predicate
+pushdown, column pruning, bucketed-agg shuffle elimination, broadcast
+referential joins. These are the '.explain and iterate' guarantees
+from the build brief, encoded as tests so they can't regress."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from satya_spark.engine import ValidationEngine
+from satya_spark.io import write_bucketed
+from satya_spark.spec import transcript_spec
+from satya_spark.transcripts import synthesize
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "transcripts")
+    synthesize(spark, 2000).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_filter_pushdown_reaches_scan(spark, staged):
+    """A conv_id predicate must appear in PushedFilters at the
+    parquet scan, not as a post-scan Filter only."""
+    df = spark.read.parquet(staged).filter(F.col("conv_id") == "c42")
+    eng = ValidationEngine(transcript_spec())
+    plan = _executed_plan(eng.shard_verdicts(df))
+    assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,c42)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, staged):
+    """A projection needing 2 columns must read 2 columns."""
+    df = spark.read.parquet(staged).select("conv_id", "turn_idx")
+    plan = _executed_plan(df.groupBy("conv_id").agg(F.max("turn_idx")))
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int>" in plan
+
+
+def test_bucketed_groupby_has_no_exchange(spark, staged):
+    """groupBy on the bucket column of a bucketed table must not
+    shuffle — the Iceberg-bucket-transform stand-in."""
+    df = spark.read.parquet(staged)
+    write_bucketed(df, "t_bucketed", "conv_id", n_buckets=8)
+    try:
+        agg = (
+            spark.table("t_bucketed")
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _executed_plan(agg)
+        assert "Exchange hashpartitioning" not in plan
+        # sanity: the same agg over the plain parquet DOES shuffle
+        plan2 = _executed_plan(
+            df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "Exchange hashpartitioning" in plan2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed")
+
+
+def test_bucketed_self_join_has_no_exchange(spark, staged):
+    """Self-join on the bucket column: both sides co-located, no
+    shuffle (the referential/uniqueness join layout at scale)."""
+    df = spark.read.parquet(staged)
+    write_bucketed(df, "t_bucketed2", "conv_id", n_buckets=8)
+    try:
+        t = spark.table("t_bucketed2")
+        a = t.groupBy("conv_id").agg(F.max("turn_idx").alias("mx"))
+        b = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        plan = _executed_plan(a.join(b, "conv_id"))
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed2")

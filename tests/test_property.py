@@ -1,0 +1,139 @@
+"""Property-based differential fuzzing: Spark kernel verdicts vs a
+pure-Python reference implementation of satya's semantics — the
+in-repo analog of the reference's Pydantic-compatibility oracle
+(``tests/test_pydantic_compatibility.py:327-366``), with hypothesis
+generating the corpora instead of hand-picking them."""
+
+from __future__ import annotations
+
+import re
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import types as T
+
+from satya_spark.compiler import compile_spec
+from satya_spark.spec import EMAIL_MAX_LEN, EMAIL_PATTERN, URL_PATTERN, FieldSpec, TableSpec
+
+# Java/Python-equivalent anchored patterns only (SURVEY.md §7: the
+# spec requires anchored RE2-compatible patterns)
+PATTERNS = [r"^[a-z]+$", r"^a.*z$", r"^[0-9]{2,4}$"]
+ENUMS = [("red", "green"), ("a", "b", "c")]
+
+
+def py_validate_str(f: FieldSpec, v):
+    """Pure-Python satya-semantics oracle for one string field."""
+    if v is None:
+        return ["required"] if f.required else []
+    out = []
+    if f.min_length is not None and len(v.strip()) < f.min_length:
+        out.append("min_length")
+    if f.max_length is not None and len(v) > f.max_length:
+        out.append("max_length")
+    if f.pattern is not None and not re.search(f.pattern, v):
+        out.append("pattern")
+    if f.email and not (re.search(EMAIL_PATTERN, v) and len(v) <= EMAIL_MAX_LEN):
+        out.append("email")
+    if f.url and not re.search(URL_PATTERN, v):
+        out.append("url")
+    if f.enum is not None and v not in f.enum:
+        out.append("enum")
+    return out
+
+
+def py_validate_num(f: FieldSpec, v):
+    if v is None:
+        return ["required"] if f.required else []
+    out = []
+    if f.ge is not None and not (v >= f.ge):
+        out.append("ge")
+    if f.le is not None and not (v <= f.le):
+        out.append("le")
+    if f.gt is not None and not (v > f.gt):
+        out.append("gt")
+    if f.lt is not None and not (v < f.lt):
+        out.append("lt")
+    if f.multiple_of is not None:
+        if isinstance(v, int):
+            if v % int(f.multiple_of) != 0:
+                out.append("multiple_of")
+        else:
+            r = abs(v % f.multiple_of)
+            if not (r < 1e-10 or abs(r - f.multiple_of) < 1e-10):
+                out.append("multiple_of")
+    return out
+
+
+str_field = st.builds(
+    lambda req, mn, mx, pat, em, en: FieldSpec(
+        "s",
+        "string",
+        required=req,
+        min_length=mn,
+        max_length=mx,
+        pattern=pat,
+        email=em,
+        enum=en,
+    ),
+    st.booleans(),
+    st.one_of(st.none(), st.integers(0, 5)),
+    st.one_of(st.none(), st.integers(3, 12)),
+    st.one_of(st.none(), st.sampled_from(PATTERNS)),
+    st.booleans(),
+    st.one_of(st.none(), st.sampled_from(ENUMS)),
+)
+
+str_values = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet="abz019 \t\n@.-红😀",
+            max_size=14,
+        ),
+        st.sampled_from(
+            ["", "   ", "\t\t", "a@b.co", "red", "aXz", "42", "a" * 300]
+        ),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+int_field = st.builds(
+    lambda req, ge, le, gt, lt, m: FieldSpec(
+        "n", "long", required=req, ge=ge, le=le, gt=gt, lt=lt, multiple_of=m
+    ),
+    st.booleans(),
+    st.one_of(st.none(), st.integers(-5, 5)),
+    st.one_of(st.none(), st.integers(-5, 100)),
+    st.one_of(st.none(), st.integers(-5, 5)),
+    st.one_of(st.none(), st.integers(-5, 100)),
+    st.one_of(st.none(), st.sampled_from([2, 3, 7])),
+)
+
+int_values = st.lists(
+    st.one_of(st.none(), st.integers(-10, 110)), min_size=1, max_size=16
+)
+
+
+def _spark_verdicts(spark, f: FieldSpec, values, spark_type):
+    schema = T.StructType([T.StructField(f.name, spark_type, True)])
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    compiled = compile_spec(TableSpec(name="p", fields=(f,)))
+    rows = compiled.with_validation(df).collect()
+    return [sorted(x["constraint_name"] for x in r["violations"]) for r in rows]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(f=str_field, values=str_values)
+def test_string_kernels_match_python_oracle(spark, f, values):
+    got = _spark_verdicts(spark, f, values, T.StringType())
+    want = [sorted(py_validate_str(f, v)) for v in values]
+    assert got == want, f"spec={f} values={values}"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(f=int_field, values=int_values)
+def test_int_kernels_match_python_oracle(spark, f, values):
+    got = _spark_verdicts(spark, f, values, T.LongType())
+    want = [sorted(py_validate_num(f, v)) for v in values]
+    assert got == want, f"spec={f} values={values}"
