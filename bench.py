@@ -37,7 +37,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONV = int(os.environ.get("SATYA_BENCH_NCONV", "1200000"))  # ~10.2M turns
+# ~10.2M turns: the scaling measurement needs jobs long enough that
+# per-job scheduling overhead (constant in core count) doesn't cap the
+# high-parallelism level — at 5M turns the 8-core pipeline run is
+# overhead-dominated and efficiency reads artificially low (0.39 vs
+# 0.91 at 10M). Total bench wall ≈ 12 min solo.
+N_CONV = int(os.environ.get("SATYA_BENCH_NCONV", "1200000"))
 LO = int(os.environ.get("SATYA_BENCH_LO", "2"))
 HI = int(os.environ.get("SATYA_BENCH_HI", str(LO * 4)))
 
@@ -76,7 +81,14 @@ def run_kernels(spark, df) -> int:
 
 def run_pipeline(spark, df) -> int:
     """Full pipeline: kernels + distributed uniqueness + referential
-    integrity + null-rate + per-conv stats + PSI/KS drift."""
+    integrity + null-rate + per-conv stats + PSI/KS drift.
+
+    The independent outputs are submitted CONCURRENTLY (thread pool →
+    Spark scheduler overlaps their stages); sequential submission
+    leaves cores idle between short jobs and the per-job overhead
+    caps scaling at high parallelism."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
     from satya_spark.engine import ValidationEngine
@@ -85,16 +97,21 @@ def run_pipeline(spark, df) -> int:
 
     eng = ValidationEngine(transcript_spec(), n_shards=256)
     run = eng.run(df, catalogs={"tool_catalog": synthesize_tool_catalog(spark)})
-    verd = run.shard_verdicts.collect()
-    n_rows = sum(r["n_rows"] for r in verd)
-    run.duplicates.count()
-    run.referential["tool"].count()
-    for v in run.null_rate.values():
-        v.count()
     d = eng.drift_check_split(df, F.crc32(F.col("conv_id")) % 2)
-    d["psi"].collect()
-    d["ks"].collect()
-    return n_rows
+
+    def _verd():
+        return sum(r["n_rows"] for r in run.shard_verdicts.collect())
+
+    tasks = [
+        _verd,
+        run.duplicates.count,
+        run.referential["tool"].count,
+        *[v.count for v in run.null_rate.values()],
+        lambda: (d["psi"].collect(), d["ks"].collect()),
+    ]
+    with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+        results = [f.result() for f in [ex.submit(t) for t in tasks]]
+    return results[0]
 
 
 def _best(fn, n=2) -> float:
@@ -173,10 +190,32 @@ def main() -> None:
         full_kern = _best(lambda: run_kernels(spark, df))
         spark.stop()
 
-        lo = _run_worker(LO, staged)
-        hi = _run_worker(HI, staged)
+        scaling_error = None
+        lo = hi = None
+        try:
+            lo = _run_worker(LO, staged)
+            hi = _run_worker(HI, staged)
+        except Exception as e:  # never lose the whole bench to a worker
+            scaling_error = str(e)[:500]
     finally:
         shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+
+    if scaling_error is not None or lo is None or hi is None:
+        sf = SF_DIR.rstrip("/").split("sf")[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "validated turns/sec (all constraint kernels + shard verdicts)",
+                    "value": round(n / full_kern),
+                    "unit": "rows/sec",
+                    "queries": times,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "headline_total_sec": round(sum(times.values()), 3),
+                    "scaling_error": scaling_error,
+                }
+            )
+        )
+        return
 
     eff_kernel = (hi["kernel_rows_per_sec"] / lo["kernel_rows_per_sec"]) / (HI / LO)
     eff_pipe = (hi["pipeline_rows_per_sec"] / lo["pipeline_rows_per_sec"]) / (HI / LO)
