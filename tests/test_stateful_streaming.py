@@ -1,0 +1,75 @@
+"""applyInPandasWithState streaming operator: per-conversation state
+survives across micro-batches (duplicate + regression detection)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from satya_spark.streaming.stateful import stateful_turn_checks
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ]
+)
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_batch(spark, indir, ckpt, outdir):
+    stream = spark.readStream.schema(SCHEMA).json(str(indir))
+    q = (
+        stateful_turn_checks(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_state_survives_micro_batches(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    outdir = tmp_path / "out"
+
+    # batch 1: clean turns 0..2 for c1; turn 5 then 3 for c2 (regression)
+    _write(
+        indir / "b1.ndjson",
+        [
+            {"conv_id": "c1", "turn_idx": 0},
+            {"conv_id": "c1", "turn_idx": 1},
+            {"conv_id": "c1", "turn_idx": 2},
+            {"conv_id": "c2", "turn_idx": 5},
+            {"conv_id": "c2", "turn_idx": 3},
+        ],
+    )
+    _run_batch(spark, indir, ckpt, outdir)
+    rows = {
+        (r["conv_id"], r["turn_idx"], r["anomaly"])
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    assert rows == {("c2", 3, "regressed_turn")}
+
+    # batch 2 (new file, same checkpoint): duplicate of c1 turn 1 —
+    # only detectable if state persisted across batches
+    _write(indir / "b2.ndjson", [{"conv_id": "c1", "turn_idx": 1},
+                                 {"conv_id": "c1", "turn_idx": 3}])
+    _run_batch(spark, indir, ckpt, outdir)
+    rows2 = {
+        (r["conv_id"], r["turn_idx"], r["anomaly"])
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    assert ("c1", 1, "duplicate_turn") in rows2
+    assert ("c1", 3, "duplicate_turn") not in rows2  # new turn is clean
+    assert len(rows2) == 2
