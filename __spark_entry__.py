@@ -362,6 +362,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_planes=4, dims=64)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: mini-k-means index (DataFrame-native training), probe
+    nprobe nearest lists. Full-probe equals brute force (tested);
+    rows-only check here (iterative training isn't SQL-expressible)."""
+    from satya_spark.functions.similarity import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, cents, k=5, nprobe=3)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature
     extraction over opaque binary payloads (decode stubbed —
@@ -471,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": q_dedup_simhash,
             "ann_topk": q_ann_topk,
             "ann_lsh_topk": q_ann_lsh_topk,
+            "ann_ivf_topk": q_ann_ivf_topk,
             "media_features": q_media_features,
             "events_validate": q_events_validate,
             "events_referential": q_events_referential,

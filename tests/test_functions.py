@@ -200,6 +200,34 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 1) in pairs and len(pairs) == 1
 
 
+def test_ivf_topk_recall(spark):
+    import math
+
+    vecs = [[math.sin(i * 0.37 + d) for d in range(8)] for i in range(80)]
+    corpus = _emb(spark, vecs)
+    cents = sim.train_centroids(corpus, k=4, iters=2)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    queries = corpus.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.brute_force_topk(corpus, queries, k=3).collect()
+    }
+    # full probe (nprobe=k) must recover brute force exactly
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk(corpus, queries, cents, k=3, nprobe=4).collect()
+    }
+    assert full == exact
+    # partial probe trades recall for scan fraction
+    part = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk(corpus, queries, cents, k=3, nprobe=2).collect()
+    }
+    assert len(exact & part) / len(exact) >= 0.5
+
+
 # --- multimodal -----------------------------------------------------------------
 
 def test_media_features_plumbing(spark):
