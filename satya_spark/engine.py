@@ -239,6 +239,33 @@ class ValidationEngine:
         )
         return manifest.read().filter(F.col("run_id") == run_id)
 
+    def violations_sampled(
+        self, df: DataFrame, per_shard_cap: int = 10_000
+    ) -> DataFrame:
+        """Violation rows with a per-shard cap — bounds write
+        amplification when a data incident makes violations the
+        MAJORITY of a 10^12-row table (full violation output would be
+        a second copy of the input). Deterministic sample: first N
+        per shard by key order. The cap is visible, not silent: rows
+        carry shard_violation_count so consumers see how much was
+        truncated."""
+        from pyspark.sql import Window
+
+        keys = list(self.spec.unique_key or (self.spec.fields[0].name,))
+        v = self.violations(df).withColumn(
+            "shard", shard_col(self.n_shards, keys[0])
+        )
+        w = Window.partitionBy("shard").orderBy(*keys, "field", "constraint_name")
+        counts = Window.partitionBy("shard")
+        return (
+            v.withColumn("__rn", F.row_number().over(w))
+            .withColumn(
+                "shard_violation_count", F.count(F.lit(1)).over(counts)
+            )
+            .filter(F.col("__rn") <= per_shard_cap)
+            .drop("__rn")
+        )
+
     # --- profiling (per-field counters, src/satya/profiling.py:15-40) ----
     def field_violation_counts(self, df: DataFrame) -> DataFrame:
         """(field, constraint_name, n) — the per-field error-counter
