@@ -239,6 +239,29 @@ class ValidationEngine:
         )
         return manifest.read().filter(F.col("run_id") == run_id)
 
+    def file_verdicts(self, df: DataFrame) -> DataFrame:
+        """Per-input-file verdicts — physical lineage to complement
+        the logical shard lineage (north rule: 'per-partition
+        lineage'); on Iceberg the _file metadata column plays this
+        role. Same fused plan shape as shard_verdicts."""
+        pre = df.select(
+            F.input_file_name().alias("file"),
+            F.size(
+                F.slice(
+                    self.compiled.violations_array_col(), 1, MAX_VIOLATIONS_PER_ROW
+                )
+            ).alias("nv"),
+        )
+        return (
+            pre.groupBy("file")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.col("nv") == 0).cast("long")).alias("n_valid"),
+                F.sum((F.col("nv") > 0).cast("long")).alias("n_invalid_rows"),
+            )
+            .withColumn("passed", F.col("n_invalid_rows") == 0)
+        )
+
     def violations_sampled(
         self, df: DataFrame, per_shard_cap: int = 10_000
     ) -> DataFrame:

@@ -61,6 +61,28 @@ def test_resume_skips_validated_shards(spark, tmp_path):
     df.unpersist()
 
 
+def test_file_verdicts_lineage(spark, tmp_path):
+    eng = ValidationEngine(transcript_spec())
+    path = str(tmp_path / "t")
+    synthesize(spark, 200).repartition(4).write.parquet(path)
+    out = eng.file_verdicts(spark.read.parquet(path)).collect()
+    assert len(out) == 4  # one verdict row per physical file
+    assert all(r["file"].endswith(".parquet") for r in out)
+    assert sum(r["n_rows"] for r in out) == spark.read.parquet(path).count()
+
+
+def test_violations_sampled_cap_visible(spark):
+    eng = ValidationEngine(transcript_spec(), n_shards=4)
+    out = eng.violations_sampled(synthesize(spark, 2000), per_shard_cap=3).collect()
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in per_shard.items():
+        assert len(rows) <= 3
+        # the true count is carried even when truncated
+        assert all(r["shard_violation_count"] >= len(rows) for r in rows)
+
+
 def test_manifest_atomic_append_visible(spark, tmp_path):
     m = Manifest(spark, str(tmp_path / "m2"))
     assert m.completed_shards() == set()
