@@ -609,7 +609,47 @@ def oracle_sql() -> dict[str, str]:
     )
     out.update(_doc_oracles())
     out.update(_event_oracles())
+    out["ann_lsh_topk"] = _lsh_oracle()
     return out
+
+
+def _lsh_oracle(n_planes: int = 4, dims: int = 64) -> str:
+    """The LSH sign-sketch is deterministic (md5-derived plane
+    constants), so the whole approximate search IS SQL-expressible:
+    embed the plane weights as literals and replicate bucket + cosine
+    + rank in DuckDB."""
+    from satya_spark.functions.similarity import _plane_component
+
+    def dot(p: int, alias: str) -> str:
+        terms = " + ".join(
+            f"{alias}.embedding[{d + 1}]::DOUBLE * {_plane_component('ann', p, d)!r}"
+            for d in range(dims)
+        )
+        return f"({terms})"
+
+    def bucket(alias: str) -> str:
+        parts = " + ".join(
+            f"(CASE WHEN {dot(p, alias)} > 0 THEN {2 ** p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        return f"({parts})"
+
+    cos = (
+        "round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6)"
+    )
+    return (
+        f"WITH c AS (SELECT vec_id, embedding, {bucket('embeddings')} AS bucket"
+        " FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id < 10), "
+        f"s AS (SELECT q.query_id, c.vec_id, {cos} AS cos_sim "
+        "FROM c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id) "
+        "SELECT query_id, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank, "
+        "vec_id, cos_sim FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 5"
+    )
 
 
 def _event_oracles() -> dict[str, str]:

@@ -34,7 +34,7 @@ def test_query_oracle_keys_align():
     assert set(os_) <= set(qs)
     # oracle-less queries are intentional (non-SQL-expressible paths:
     # LSH approximate search, Arrow mapInPandas) — keep this list tight
-    assert set(qs) - set(os_) == {"ann_lsh_topk", "ann_ivf_topk", "media_features"}
+    assert set(qs) - set(os_) == {"ann_ivf_topk", "media_features"}
 
 
 @pytest.fixture(scope="module")
