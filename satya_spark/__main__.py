@@ -1,0 +1,125 @@
+"""CLI: the spark-submit-able product surface.
+
+    python -m satya_spark validate \
+        --input /data/transcripts.parquet [--format parquet|ndjson] \
+        --schema schema.json            # JSON Schema (compiled to a spec)
+        [--spec transcripts]            # or the built-in flagship spec
+        --output /out                   # writes verdicts/ violations/
+        [--manifest /out/manifest]      # enables checkpoint-resume
+        [--shards 64] [--sample-per-shard N]
+
+On a cluster:  spark-submit --py-files satya_spark.zip -m ... is the
+same entry point; locally it builds a session itself.
+
+Exit code: 0 if every shard passed, 3 if violations were found
+(pipeline-friendly), 2 on schema-policy errors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_spec(args):
+    from .spec import transcript_spec
+    from .spec_json import from_json_schema
+
+    if args.schema:
+        with open(args.schema) as f:
+            return from_json_schema(json.load(f))
+    if args.spec == "transcripts":
+        return transcript_spec()
+    raise SystemExit(f"unknown --spec {args.spec!r} and no --schema given")
+
+
+def cmd_validate(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .coerce import spark_type
+    from .engine import ValidationEngine
+    from .session import get_spark
+    from .sources.json_source import read_ndjson
+
+    spark = get_spark(app_name="satya-spark-cli")
+    spec = _build_spec(args)
+    spec.validate()
+    eng = ValidationEngine(spec, n_shards=args.shards)
+
+    if args.format == "parquet":
+        df = spark.read.parquet(args.input)
+    else:
+        from pyspark.sql import types as T
+
+        fields = [
+            T.StructField(f.name, T._parse_datatype_string(spark_type(f.dtype)))
+            for f in spec.fields
+        ]
+        df = read_ndjson(spark, args.input, T.StructType(fields)).drop("json_ok")
+
+    schema_errors = eng.schema_violations(df)
+    if schema_errors:
+        print(json.dumps({"schema_violations": schema_errors}))
+        if any(e["constraint"] == "extra_field" for e in schema_errors):
+            return 2
+    df = eng.conform(df)
+
+    if args.coerce:
+        from .coerce import coerce
+
+        df = coerce(df, spec)
+
+    if args.manifest:
+        verdicts = eng.run_resumable(df, args.manifest)
+    else:
+        verdicts = eng.shard_verdicts(eng.annotate(df))
+    verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+
+    if args.sample_per_shard:
+        viol = eng.violations_sampled(df, per_shard_cap=args.sample_per_shard)
+    else:
+        viol = eng.violations(df)
+    viol.write.mode("overwrite").parquet(f"{args.output}/violations")
+
+    v = spark.read.parquet(f"{args.output}/verdicts")
+    row = v.agg(
+        F.sum("n_rows").alias("rows"),
+        F.sum("n_invalid_rows").alias("invalid"),
+    ).collect()[0]
+    n_rows = int(row["rows"] or 0)
+    n_invalid = int(row["invalid"] or 0)
+    print(
+        json.dumps(
+            {
+                "rows": n_rows,
+                "invalid_rows": n_invalid,
+                "shards": v.count(),
+                "output": args.output,
+            }
+        )
+    )
+    return 0 if n_invalid == 0 else 3
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="satya_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    v = sub.add_parser("validate", help="validate a table against a spec")
+    v.add_argument("--input", required=True)
+    v.add_argument("--format", choices=["parquet", "ndjson"], default="parquet")
+    v.add_argument("--schema", help="JSON Schema file (compiled to a spec)")
+    v.add_argument("--spec", default="transcripts", help="built-in spec name")
+    v.add_argument("--output", required=True)
+    v.add_argument("--manifest", help="manifest dir (enables resume)")
+    v.add_argument("--shards", type=int, default=64)
+    v.add_argument("--sample-per-shard", type=int, default=0)
+    v.add_argument("--coerce", action="store_true", help="coercion mode")
+    args = p.parse_args(argv)
+    if args.cmd == "validate":
+        return cmd_validate(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

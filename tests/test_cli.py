@@ -1,0 +1,80 @@
+"""CLI surface: python -m satya_spark validate — fresh-interpreter
+end-to-end runs (parquet + ndjson + JSON-schema spec + resume)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*argv, timeout=600):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "satya_spark", *argv],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=timeout,
+    )
+
+
+def test_cli_validate_parquet(spark, tmp_path):
+    from satya_spark.transcripts import synthesize
+
+    inp = str(tmp_path / "in.parquet")
+    synthesize(spark, 300).write.parquet(inp)
+    out = str(tmp_path / "out")
+    r = _cli("validate", "--input", inp, "--output", out, "--shards", "8")
+    assert r.returncode == 3, r.stderr[-1500:]  # planted violations present
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] > 0 and summary["invalid_rows"] > 0
+    assert os.path.isdir(f"{out}/verdicts") and os.path.isdir(f"{out}/violations")
+
+
+def test_cli_validate_ndjson_with_json_schema(tmp_path):
+    schema = {
+        "title": "people",
+        "type": "object",
+        "properties": {
+            "name": {"type": "string", "minLength": 2},
+            "age": {"type": "integer", "minimum": 0},
+        },
+        "required": ["name", "age"],
+    }
+    sfile = tmp_path / "schema.json"
+    sfile.write_text(json.dumps(schema))
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "d.ndjson").write_text(
+        '{"name":"ann","age":3}\n{"name":"x","age":-1}\n'
+    )
+    out = str(tmp_path / "out")
+    r = _cli(
+        "validate", "--input", str(data), "--format", "ndjson",
+        "--schema", str(sfile), "--output", out,
+    )
+    assert r.returncode == 3, r.stderr[-1500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 2 and summary["invalid_rows"] == 1
+
+
+def test_cli_resume_via_manifest(spark, tmp_path):
+    from satya_spark.transcripts import synthesize
+
+    inp = str(tmp_path / "in.parquet")
+    synthesize(spark, 200).write.parquet(inp)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    man = str(tmp_path / "manifest")
+    r1 = _cli("validate", "--input", inp, "--output", out1,
+              "--manifest", man, "--shards", "8")
+    assert r1.returncode == 3
+    # second run: everything already validated -> zero new rows
+    r2 = _cli("validate", "--input", inp, "--output", out2,
+              "--manifest", man, "--shards", "8")
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["rows"] == 0 and r2.returncode == 0
