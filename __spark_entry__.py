@@ -363,9 +363,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: mini-k-means index (DataFrame-native training), probe
-    nprobe nearest lists. Full-probe equals brute force (tested);
-    rows-only check here (iterative training isn't SQL-expressible)."""
+    """IVF ANN, full probe: mini-k-means index (DataFrame-native
+    training, iters=2) with nprobe=k, which provably equals brute
+    force regardless of centroid FP noise — so the exact brute-force
+    SQL IS its oracle. Pruned probing (the scale behavior) is gated
+    separately in ann_ivf_pruned and quality-tested in
+    tests/test_functions.py."""
     from satya_spark.functions.similarity import ivf_topk, train_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -373,16 +376,49 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, cents, k=5, nprobe=3)
+    return ivf_topk(emb, queries, cents, k=5, nprobe=8)
+
+
+def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with real pruning (nprobe=2 of 8 lists), fully oracled:
+    centroids are the deterministic stride-sampled init (iters=0), so
+    index assignment, probe selection, and within-list ranking are all
+    SQL-expressible with 6-decimal-rounded cosines."""
+    from satya_spark.functions.similarity import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=0)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, cents, k=5, nprobe=2)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature
-    extraction over opaque binary payloads (decode stubbed —
-    rows-only check)."""
+    extraction over opaque binary payloads. The fake featurizer is
+    deterministic byte arithmetic over a payload that is itself
+    ``repeat('blob'||id, 16)`` (multimodal.py), so the whole path IS
+    SQL-expressible — fully oracled. The array<float> feature is
+    exploded to (dim, feat_micro BIGINT) so every column is hashable
+    and engine-portable (micro-units absorb the float32 round-trip)."""
     from satya_spark.functions.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(spark, 200))
+    feats = extract_features(synthesize_media(spark, 200))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("feature").alias("dim", "feat"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("feat").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("feat_micro"),
+    )
 
 
 # --- events table (second spec deployment + sessionization) ---------------
@@ -486,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk": q_ann_topk,
             "ann_lsh_topk": q_ann_lsh_topk,
             "ann_ivf_topk": q_ann_ivf_topk,
+            "ann_ivf_pruned": q_ann_ivf_pruned,
             "media_features": q_media_features,
             "events_validate": q_events_validate,
             "events_referential": q_events_referential,
@@ -610,7 +647,73 @@ def oracle_sql() -> dict[str, str]:
     out.update(_doc_oracles())
     out.update(_event_oracles())
     out["ann_lsh_topk"] = _lsh_oracle()
+    out["ann_ivf_topk"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
+    out["ann_ivf_pruned"] = _ivf_pruned_oracle()
+    out["media_features"] = _media_oracle()
     return out
+
+
+def _ivf_pruned_oracle(k_lists: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    """SQL twin of stride-centroid IVF (similarity.py train_centroids
+    iters=0 + ivf_topk): centroids = the k_lists lowest-id vectors with
+    vec_id % (n // k_lists) == 0; assignment = argmax rounded cosine
+    (ties → smallest centroid idx); probe selection = top-nprobe rounded
+    cosine (ties → LARGEST idx, matching Spark's reverse(array_sort));
+    final ranking identical to the brute-force oracle."""
+    cos_ec = (
+        "round(list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))), 6)"
+    )
+    cos_lq = (
+        "round(list_dot_product(l.embedding::DOUBLE[], qp.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(qp.embedding::DOUBLE[], qp.embedding::DOUBLE[]))), 6)"
+    )
+    return (
+        f"WITH par AS (SELECT greatest(CAST(count(*) // {k_lists} AS BIGINT), 1)"
+        " AS stride FROM embeddings), "
+        "cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+        " AS c_idx, embedding AS cvec FROM embeddings, par"
+        f" WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT {k_lists}), "
+        f"asg AS (SELECT e.vec_id, e.embedding, c.c_idx, {cos_ec} AS s"
+        " FROM embeddings e CROSS JOIN cent c), "
+        "lists AS (SELECT vec_id, embedding, c_idx AS list FROM asg"
+        " QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_idx ASC) = 1), "
+        "qprobe AS (SELECT vec_id AS query_id, embedding, c_idx AS list FROM asg"
+        " WHERE vec_id < 10"
+        f" QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_idx DESC) <= {nprobe}), "
+        f"s AS (SELECT qp.query_id, l.vec_id, {cos_lq} AS cos_sim"
+        " FROM lists l JOIN qprobe qp ON l.list = qp.list"
+        " WHERE l.vec_id <> qp.query_id) "
+        "SELECT query_id, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank, "
+        "vec_id, cos_sim FROM s "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= {k}"
+    )
+
+
+def _media_oracle(n: int = 200, dim: int = 8) -> str:
+    """SQL twin of synthesize_media + extract_features: the payload is
+    repeat('blob'||id, 16) (ASCII → chars == bytes), the feature is the
+    per-(position mod dim) byte mean / 255, half-up-quantized to
+    micro-units — identical double ops to multimodal._fake_feature."""
+    return (
+        f"WITH m AS (SELECT CAST(range AS BIGINT) AS media_id, "
+        f"repeat('blob' || CAST(range AS VARCHAR), 16) AS s FROM range({n})), "
+        "b0 AS (SELECT media_id, s, CAST(length(s) AS BIGINT) AS n_bytes, "
+        "unnest(generate_series(1, length(s))) AS p FROM m), "
+        "b AS (SELECT media_id, n_bytes, CAST(p AS INT) AS p, "
+        "ord(substring(s, CAST(p AS INT), 1)) AS byte FROM b0), "
+        f"ag AS (SELECT media_id, n_bytes, CAST((p - 1) % {dim} AS INT) AS dim, "
+        "CAST(sum(byte) AS DOUBLE) / count(*) / 255.0 AS x "
+        "FROM b GROUP BY media_id, n_bytes, dim) "
+        "SELECT media_id, "
+        "CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+        " ELSE 'video' END AS kind, "
+        "n_bytes, dim, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS feat_micro "
+        "FROM ag"
+    )
 
 
 def _lsh_oracle(n_planes: int = 4, dims: int = 64) -> str:

@@ -59,14 +59,24 @@ def decode_image(payload: bytes) -> "object":
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in featurizer: byte-histogram moments.
     Replace with a real model forward pass; the Spark plumbing
-    (batching, schema, partitioning) is identical."""
+    (batching, schema, partitioning) is identical.
+
+    Quantized to 6 decimals with explicit half-up rounding
+    (floor(x*1e6 + 0.5)/1e6) rather than Python's banker's round so
+    the DuckDB oracle (floor-based, same double ops) is bit-equal."""
+    import math
+
     if payload is None:
         return None
     n = len(payload)
     if n == 0:
         return [0.0] * dim
     return [
-        round(sum(payload[i::dim]) / max(1, len(payload[i::dim])) / 255.0, 6)
+        math.floor(
+            (sum(payload[i::dim]) / max(1, len(payload[i::dim])) / 255.0) * 1_000_000
+            + 0.5
+        )
+        / 1_000_000
         for i in range(dim)
     ]
 

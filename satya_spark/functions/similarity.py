@@ -203,7 +203,11 @@ def _cos_to_const(vec: Column, cent: list[float]) -> Column:
 
 
 def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
-    sims = [_cos_to_const(vec, c) for c in cents]
+    """argmax_i cosine(vec, cent_i); ties → smallest i. Cosines are
+    rounded to 6 decimals so the comparison is engine-portable (raw
+    doubles can differ in the last ulp between Spark's fold and
+    DuckDB's list_dot_product, flipping near-ties)."""
+    sims = [F.round(_cos_to_const(vec, c), 6) for c in cents]
     best = F.greatest(*sims) if len(sims) > 1 else sims[0]
     out = F.lit(None).cast("int")
     expr = None
@@ -230,7 +234,9 @@ def ivf_topk(
     scale the list id is a partition column and probing is partition
     pruning."""
     c = corpus.withColumn("__list", _nearest_centroid(F.col(vec_col), centroids))
-    sims = [_cos_to_const(F.col(vec_col), cent) for cent in centroids]
+    # rounded for engine portability; struct sort ties break on the
+    # centroid index DESCENDING (reverse of ascending array_sort)
+    sims = [F.round(_cos_to_const(F.col(vec_col), cent), 6) for cent in centroids]
     probe_struct = F.array(
         *[
             F.struct(sims[i].alias("s"), F.lit(i).alias("c"))
