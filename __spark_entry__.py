@@ -338,6 +338,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(docs_from_testdata(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, chunk-blocked (pigeonhole banding —
+    hamming ≤ 3 pairs must share one of four 8-bit signature chunks),
+    NOT within-language all-pairs. Equi-join on (chunk_idx, value)."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        docs_from_testdata(spark, sf_dir), max_hamming=3, bits=32, chunks=4
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 query vectors —
     the exact ANN baseline (broadcast queries, no shuffle on corpus)."""
@@ -392,6 +404,19 @@ def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries, cents, k=5, nprobe=2)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-band sign-sketch LSH
+    (4 bands × 6 planes) over embeddings + planted exact-dup vectors;
+    full oracle (plane constants embedded as SQL literals)."""
+    from satya_spark.docfix import emb_from_testdata
+    from satya_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = emb_from_testdata(spark, sf_dir)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=6, dims=64, bands=4
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,10 +544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_simhash": q_dedup_simhash,
+            "dedup_simhash_pairs": q_dedup_simhash_pairs,
             "ann_topk": q_ann_topk,
             "ann_lsh_topk": q_ann_lsh_topk,
             "ann_ivf_topk": q_ann_ivf_topk,
             "ann_ivf_pruned": q_ann_ivf_pruned,
+            "dedup_embedding": q_dedup_embedding,
             "media_features": q_media_features,
             "events_validate": q_events_validate,
             "events_referential": q_events_referential,
@@ -649,8 +676,58 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_topk"] = _lsh_oracle()
     out["ann_ivf_topk"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
     out["ann_ivf_pruned"] = _ivf_pruned_oracle()
+    out["dedup_embedding"] = _embdup_oracle()
     out["media_features"] = _media_oracle()
     return out
+
+
+def _embdup_oracle(
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dims: int = 64,
+    bands: int = 4,
+    seed: str = "nd",
+) -> str:
+    """SQL twin of similarity.embedding_near_dup_pairs over the embfix
+    fixture: per-band sign-sketch buckets with the deterministic plane
+    constants embedded as literals, union of band collisions, exact
+    cosine verify."""
+    from satya_spark.docfix import emb_with_clause
+    from satya_spark.functions.similarity import _plane_component
+
+    def dot(band: int, p: int) -> str:
+        terms = " + ".join(
+            f"embedding[{d + 1}]::DOUBLE * {_plane_component(f'{seed}{band}', p, d)!r}"
+            for d in range(dims)
+        )
+        return f"({terms})"
+
+    def bucket(band: int) -> str:
+        parts = " + ".join(
+            f"(CASE WHEN {dot(band, p)} > 0 THEN {2 ** p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        return f"({parts})"
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, {bucket(bi)} AS bucket FROM embfix"
+        for bi in range(bands)
+    )
+    cos = (
+        "round(list_dot_product(va.embedding::DOUBLE[], vb.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(va.embedding::DOUBLE[], va.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(vb.embedding::DOUBLE[], vb.embedding::DOUBLE[]))), 6)"
+    )
+    return emb_with_clause() + (
+        f", bb AS ({band_selects})"
+        ", cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bb a"
+        " JOIN bb b ON a.band = b.band AND a.bucket = b.bucket"
+        " AND a.vec_id < b.vec_id) "
+        f"SELECT id_a, id_b, cos_sim FROM (SELECT id_a, id_b, {cos} AS cos_sim"
+        " FROM cand JOIN embfix va ON va.vec_id = id_a"
+        " JOIN embfix vb ON vb.vec_id = id_b) p"
+        f" WHERE cos_sim >= CAST({threshold!r} AS DOUBLE)"
+    )
 
 
 def _ivf_pruned_oracle(k_lists: int = 8, nprobe: int = 2, k: int = 5) -> str:
@@ -819,14 +896,24 @@ def _doc_oracles() -> dict[str, str]:
         "round(CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
         " / len(list_distinct(list_concat({a}, {b}))), 6)"
     )
+    # threshold-derived length-filter banding, mirroring
+    # dedup.jaccard_pairs: the larger-count doc expands into bands
+    # floor(t*c/w)..floor(c/w); equi-join on (lang, band); exactly-once
+    # via the (count, id) lexicographic orientation filter.
     o["dedup_jaccard"] = W + (
         f", t AS (SELECT doc_id, lang, {toks_sql} AS toks, "
-        f"CAST(floor(len({toks_sql}) / 5.0) AS INT) AS band FROM docs) "
+        f"len({toks_sql}) AS tc FROM docs)"
+        ", small AS (SELECT doc_id AS id_s, lang, toks AS toks_s, tc AS tc_s, "
+        "CAST(floor(CAST(tc AS DOUBLE) / 5) AS INT) AS band FROM t)"
+        ", big AS (SELECT doc_id AS id_l, lang, toks AS toks_l, tc AS tc_l, "
+        "CAST(unnest(generate_series("
+        "CAST(floor(CAST(0.6 AS DOUBLE) * tc / 5) AS BIGINT), "
+        "CAST(floor(CAST(tc AS DOUBLE) / 5) AS BIGINT))) AS INT) AS band FROM t) "
         "SELECT id_a, id_b, jac FROM ("
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-        + jac_sql.format(a="a.toks", b="b.toks")
-        + " AS jac FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id"
-        " AND (a.band = b.band OR a.band + 1 = b.band)) p WHERE jac >= 0.6"
+        "SELECT least(id_s, id_l) AS id_a, greatest(id_s, id_l) AS id_b, "
+        + jac_sql.format(a="toks_s", b="toks_l")
+        + " AS jac FROM big JOIN small USING (lang, band)"
+        " WHERE tc_s < tc_l OR (tc_s = tc_l AND id_s < id_l)) p WHERE jac >= 0.6"
     )
     mh_cols = ", ".join(
         f"list_aggregate(list_transform(toks, x -> ('0x' || substring(md5('mh{i}:' || x), 1, 15))::BIGINT), 'min') AS mh{i}"
@@ -858,6 +945,34 @@ def _doc_oracles() -> dict[str, str]:
         ", h AS (SELECT doc_id, ('0x' || substring(md5('sh:' || tok), 1, 15))::BIGINT AS h FROM toks)"
         f", agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id) "
         f"SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM agg"
+    )
+    # chunk-blocked pair finding (dedup.simhash_pairs: bits=32,
+    # chunks=4, max_hamming=3 — pigeonhole guarantees exact recall)
+    bits2, chunks2, maxham2 = 32, 4, 3
+    cb2 = bits2 // chunks2
+    bit_sums2 = ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits2)
+    )
+    sig_expr2 = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END * {2**b})" for b in range(bits2)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {ci} AS ci, "
+        f"(simhash >> {ci * cb2}) & {(1 << cb2) - 1} AS cv FROM sig2"
+        for ci in range(chunks2)
+    )
+    o["dedup_simhash_pairs"] = W + (
+        f", toks2 AS (SELECT doc_id, unnest({toks_sql}) AS tok FROM docs)"
+        ", h2 AS (SELECT doc_id, ('0x' || substring(md5('sh:' || tok), 1, 15))::BIGINT AS h FROM toks2)"
+        f", agg2 AS (SELECT doc_id, {bit_sums2} FROM h2 GROUP BY doc_id)"
+        f", sig2 AS (SELECT doc_id, CAST({sig_expr2} AS BIGINT) AS simhash FROM agg2)"
+        f", ch AS ({chunk_selects})"
+        ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.simhash AS s_a, b.simhash AS s_b FROM ch a JOIN ch b"
+        " ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, hamming FROM (SELECT id_a, id_b, "
+        "CAST(bit_count(xor(s_a, s_b)) AS INT) AS hamming FROM cand) p "
+        f"WHERE hamming <= {maxham2}"
     )
     cos = (
         "round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])"

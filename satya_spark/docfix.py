@@ -29,3 +29,27 @@ def docs_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(docs_with_clause() + " SELECT * FROM docs")
+
+
+EMB_CTE = """
+embfix AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding
+  FROM embeddings WHERE vec_id % 53 = 0          -- exact-dup vectors
+)
+"""
+
+
+def emb_with_clause() -> str:
+    return "WITH " + EMB_CTE
+
+
+def emb_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + planted exact-duplicate vectors (deterministic
+    modulus sites), identical in Spark SQL and DuckDB — makes the
+    near-dup gate non-vacuous."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(emb_with_clause() + " SELECT * FROM embfix")

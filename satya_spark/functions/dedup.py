@@ -92,39 +92,53 @@ def jaccard_pairs(
     band_width: int = 5,
 ) -> DataFrame:
     """Near-dup pairs by token-set Jaccard ≥ threshold, blocked by
-    (lang, token-count band). Returns (id_a, id_b, jac)."""
+    (lang, token-count band) with COMPLETE recall: Jaccard ≥ t forces
+    the smaller token count ≥ t × the larger, so the larger-count side
+    of every qualifying pair is emitted into every band a qualifying
+    smaller partner could occupy — bands floor(t·c/w)..floor(c/w) —
+    and joined by EQUALITY on (lang, band). This is the similarity-join
+    length filter: symmetric (no id-order dependence — the round-1
+    ±1-band version silently dropped pairs where the lower id had the
+    higher count), exactly-once (orientation fixed by the (count, id)
+    lexicographic order), and a true equi-join, so the shuffle
+    partitions on (lang, band) instead of degrading to a
+    within-language all-pairs filter. Returns (id_a, id_b, jac),
+    id_a < id_b."""
     t = df.select(
         F.col(id_col),
-        F.col(lang_col),
+        F.col(lang_col).alias("lang"),
         F.array_distinct(tokens_ws(F.col(text_col))).alias("toks"),
-    ).withColumn(
-        # floor explicitly: Spark CAST(double AS INT) truncates while
-        # DuckDB rounds — floor makes both dialects agree
-        "tc_band", F.floor(F.size("toks") / F.lit(band_width)).cast("int")
+    ).withColumn("tc", F.size("toks"))
+    # floor explicitly: Spark CAST(double AS INT) truncates while
+    # DuckDB rounds — floor makes both dialects agree
+    small = t.select(
+        F.col(id_col).alias("id_s"),
+        F.col("lang"),
+        F.col("toks").alias("toks_s"),
+        F.col("tc").alias("tc_s"),
+        F.floor(F.col("tc") / F.lit(band_width)).cast("int").alias("band"),
     )
-    # a doc one token longer can fall in the next band — join both
-    left = t
-    right = t.select(
-        F.col(id_col).alias("id_b"),
-        F.col(lang_col).alias("lang_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("tc_band").alias("band_b"),
+    lo = F.floor(F.lit(float(threshold)) * F.col("tc") / F.lit(band_width)).cast("int")
+    hi = F.floor(F.col("tc") / F.lit(band_width)).cast("int")
+    big = t.select(
+        F.col(id_col).alias("id_l"),
+        F.col("lang"),
+        F.col("toks").alias("toks_l"),
+        F.col("tc").alias("tc_l"),
+        F.explode(F.sequence(lo, hi)).alias("band"),
     )
-    joined = left.join(
-        right,
-        (F.col(lang_col) == F.col("lang_b"))
-        & (F.col(id_col) < F.col("id_b"))
-        & (
-            (F.col("tc_band") == F.col("band_b"))
-            | (F.col("tc_band") + 1 == F.col("band_b"))
-        ),
+    joined = big.join(small, ["lang", "band"]).filter(
+        (F.col("tc_s") < F.col("tc_l"))
+        | ((F.col("tc_s") == F.col("tc_l")) & (F.col("id_s") < F.col("id_l")))
     )
-    inter = F.size(F.array_intersect("toks", "toks_b"))
-    union = F.size(F.array_distinct(F.concat("toks", "toks_b")))
+    inter = F.size(F.array_intersect("toks_s", "toks_l"))
+    union = F.size(F.array_distinct(F.concat("toks_s", "toks_l")))
     jac = F.round(inter.cast("double") / union, 6)
     return (
         joined.select(
-            F.col(id_col).alias("id_a"), F.col("id_b"), jac.alias("jac")
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+            jac.alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
     )
@@ -224,11 +238,16 @@ SIMHASH_BITS = 16
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """16-bit SimHash: per bit, sign of Σ_tokens (±1 by token-hash
-    bit). One explode + one groupBy with 16 codegen'd sums — no
-    per-row Python, no HOF in the aggregate."""
+    """``bits``-bit SimHash: per bit, sign of Σ_tokens (±1 by
+    token-hash bit). One explode + one groupBy with ``bits`` codegen'd
+    sums — no per-row Python, no HOF in the aggregate. bits ≤ 62 (the
+    signature is summed into a signed long)."""
+    assert bits <= 62
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_ws(F.col(text_col)))).alias("tok"),
@@ -237,11 +256,11 @@ def simhash_signatures(
         F.sum(
             (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
         ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sig = None
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         bit = F.when(F.col(f"s{b}") >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(
             2**b
         )
@@ -251,24 +270,53 @@ def simhash_signatures(
 
 def simhash_pairs(
     df: DataFrame,
-    max_hamming: int = 2,
+    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    lang_col: str = "lang",
+    bits: int = 32,
+    chunks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ max_hamming, blocked by
-    language. popcount via bit_count (both engines)."""
-    sigs = simhash_signatures(df, id_col, text_col)
-    base = df.select(id_col, lang_col).join(sigs, id_col)
-    b = base.select(
-        F.col(id_col).alias("id_b"),
-        F.col(lang_col).alias("lang_b"),
-        F.col("simhash").alias("sim_b"),
+    SimHash CHUNKS (pigeonhole: two sigs within hamming d < chunks
+    must agree exactly on ≥1 of the ``chunks`` bit-chunks), the same
+    banding trick as MinHash-LSH. Replaces the round-1 version that
+    blocked by language only — an n² join within one language, which
+    at 100 TB is ~the whole corpus. Here the join is equi on
+    (chunk_idx, chunk_value): with 64-bit sigs and 8-bit..16-bit
+    chunks the buckets stay small; recall is exact (guaranteed by
+    pigeonhole), verification is the cheap bit_count filter.
+    Returns (id_a, id_b, hamming), id_a < id_b."""
+    assert max_hamming < chunks and bits % chunks == 0
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits)
+    chunked = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("ci"),
+                        F.shiftright(F.col("simhash"), ci * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for ci in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.ci", "ch.cv")
+    right = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "ci", "cv"
     )
-    j = base.join(
-        b, (F.col(lang_col) == F.col("lang_b")) & (F.col(id_col) < F.col("id_b"))
+    cand = (
+        chunked.join(right, ["ci", "cv"])
+        .filter(F.col(id_col) < F.col("id_b"))
+        .select(F.col(id_col).alias("id_a"), "id_b", "simhash", "sim_b")
+        .distinct()
     )
-    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b")))
-    return j.select(
-        F.col(id_col).alias("id_a"), "id_b", ham.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

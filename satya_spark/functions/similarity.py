@@ -111,6 +111,63 @@ def lsh_bucket(
     return bucket
 
 
+def sketch_buckets_np(
+    df: DataFrame,
+    n_planes: int,
+    dims: int,
+    seeds: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched sign-sketch: one numpy float64 matmul per batch
+    against the stacked (len(seeds)·n_planes, dims) plane matrix,
+    emitting one (id, band, bucket) row per band. This is the
+    wide-vector / many-plane SCALE path: the pure-expression
+    ``lsh_bucket`` inlines n_planes×dims multiply-adds into the plan
+    and past ~500 terms the fused stage blows Janino's 64 KB method
+    limit and silently drops to interpreted eval — a matmul over Arrow
+    batches is both smaller and far faster there. Sign parity with the
+    expression path holds except when a dot product sits within
+    float-summation noise of 0 (tested equal on the synthetic corpus);
+    use the expression path when bit-exact SQL-oracle parity matters."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    planes = np.array(
+        [
+            [
+                [_plane_component(seed, p, d) for d in range(dims)]
+                for p in range(n_planes)
+            ]
+            for seed in seeds
+        ]
+    )  # (bands, n_planes, dims)
+    pow2 = 2 ** np.arange(n_planes)
+    bands = len(seeds)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dims)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for bi in range(bands):
+                s = x @ planes[bi].T  # (n, n_planes)
+                bucket = ((s > 0) * pow2).sum(axis=1).astype(np.int32)
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: ids, "band": np.int32(bi), "bucket": bucket}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, band int, bucket int"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -267,20 +324,76 @@ def embedding_near_dup_pairs(
     threshold: float = 0.98,
     n_planes: int = 6,
     dims: int = 64,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: str = "nd",
+    impl: str = "expr",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates: same-LSH-bucket pairs with
-    cosine ≥ threshold (near-identical vectors collide with high
-    probability under the sign sketch)."""
-    b = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
-    r = b.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        F.col("__bucket"),
+    """Embedding-cosine near-duplicates via MULTI-BAND sign-sketch
+    LSH: each vector is emitted into ``bands`` independent sketches
+    (distinct plane seeds); candidates collide in ≥1 band (union of
+    per-band equi-joins), fixing the single-band recall hole where a
+    near-identical pair straddles one hyperplane. More planes per band
+    shrink buckets (cost); more bands recover recall — the standard
+    banding trade also used by the MinHash path. Candidate dedup
+    shuffles only (id_a, id_b); vectors are joined back by id for the
+    exact-cosine verify. Returns (id_a, id_b, cos_sim), id_a < id_b.
+
+    ``impl='expr'`` builds the sketch as Catalyst expressions
+    (bit-exact SQL-oracle parity; interpreted past ~500 terms);
+    ``impl='arrow'`` uses the numpy matmul path (sketch_buckets_np) —
+    the 100 TB configuration for wide vectors / many planes."""
+    if impl == "arrow":
+        b = sketch_buckets_np(
+            df, n_planes, dims, [f"{seed}{bi}" for bi in range(bands)],
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        # compute the bucket COLUMNS in a Project (whole-stage codegen
+        # splits big expression trees across methods there) and explode
+        # only attribute references: inlining the plane dot products
+        # into the Generate operator itself blows Janino's 64 KB method
+        # limit (Generate.doConsume is not split-aware).
+        with_buckets = df.select(
+            F.col(id_col),
+            *[
+                lsh_bucket(F.col(vec_col), n_planes, dims, seed=f"{seed}{bi}").alias(
+                    f"__b{bi}"
+                )
+                for bi in range(bands)
+            ],
+        )
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"), F.col(f"__b{bi}").alias("bucket")
+                )
+                for bi in range(bands)
+            ]
+        )
+        b = with_buckets.select(F.col(id_col), F.explode(buckets).alias("bb")).select(
+            id_col, "bb.band", "bb.bucket"
+        )
+    r = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        b.join(r, ["band", "bucket"])
+        .filter(F.col(id_col) < F.col("id_b"))
+        .select(F.col(id_col).alias("id_a"), "id_b")
+        .distinct()
     )
-    j = b.join(r, "__bucket").filter(F.col(id_col) < F.col("id_b"))
-    sim = F.round(cosine(F.col(vec_col), F.col("vec_b")), 6)
-    return j.select(
-        F.col(id_col).alias("id_a"), "id_b", sim.alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    j = (
+        cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")),
+            "id_b",
+        )
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return j.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )

@@ -89,16 +89,30 @@ def punct_ratio_sql(name: str) -> str:
 
 
 def stopword_hits(col: Column, lang: str = "en") -> Column:
-    """# tokens that are stopwords of ``lang``."""
+    """# tokens that are stopwords of ``lang``.
+
+    Implemented as a regexp count, NOT a higher-order ``F.filter``
+    lambda: array lambdas are CodegenFallback and poison the entire
+    enclosing projection into interpreted eval (~10× — measured,
+    BENCH.md plan-shape rules), and ``lang_id`` evaluates this 4×.
+    Token-exact counting via regex: every inter-token space of the
+    normalized text is doubled, the whole string padded with one space
+    each side, so every token is surrounded by its own spaces and
+    ``' (w1|w2|…) '`` matches exactly the stopword tokens with no
+    overlap (adjacent stopwords can't share a separator)."""
     words = STOPWORDS[lang]
-    toks = tokens_ws(col)
-    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(norm_text(col), " ", "  "), F.lit(" ")
+    )
+    return F.regexp_count(padded, F.lit(" (" + "|".join(words) + ") "))
 
 
 def stopword_hits_sql(name: str, lang: str = "en") -> str:
-    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    words = "|".join(STOPWORDS[lang])
+    n = norm_text_sql(name)
     return (
-        f"len(list_filter({tokens_ws_sql(name)}, t -> t IN ({words})))"
+        f"len(regexp_extract_all(' ' || regexp_replace({n}, ' ', '  ', 'g')"
+        f" || ' ', ' ({words}) '))"
     )
 
 

@@ -61,6 +61,56 @@ def test_lang_id(spark):
     assert preds == ["en", "de", "fr", "zh", "und"]
 
 
+def test_stopword_hits_token_exact(spark):
+    # the regexp-count implementation must count exactly the TOKENS
+    # that equal a stopword: adjacent stopwords don't share separators,
+    # punctuation-attached words don't count, substrings don't count
+    cases = [
+        ("the the the", 3),            # adjacent repeats (overlap trap)
+        ("a of the", 3),               # all-stopword run
+        ("the. cat", 0),               # punctuation-attached
+        ("theory and android", 1),     # substring traps: only 'and'
+        ("The  Cat IS in THE house", 4),  # case/extra-space normalize
+        ("", 0),
+        ("nostopwordshere whatsoever", 0),
+    ]
+    df = spark.createDataFrame(cases, ["t", "want"])
+    rows = df.select("want", tx.stopword_hits(F.col("t"), "en").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+def test_text_kernel_plans_are_pure_codegen(spark):
+    """Regression for the round-1 HOF trap: stopword counting via
+    F.filter(lambda) was CodegenFallback and forced the whole text
+    projection into interpreted eval. Every Project in the text_stats /
+    text_langid plans must be inside a WholeStageCodegen span
+    (the '*(n)' prefix) with no lambda and no Python eval."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"), (2, "der hund ist gut", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    c = F.col("text")
+    outs = [
+        df.select(
+            "doc_id",
+            tx.token_count_ws(c).alias("n_tok_ws"),
+            tx.token_count_bpe(c).alias("n_tok_bpe"),
+            tx.punct_ratio(c).alias("punct_ratio"),
+            tx.quality_score(c).alias("quality"),
+        ),
+        df.select("doc_id", "lang", tx.lang_id(c).alias("lang_pred")),
+    ]
+    for out in outs:
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "lambdafunction" not in plan
+        for line in plan.splitlines():
+            if "Project [" in line:
+                assert "*(" in line, f"interpreted Project:\n{line}"
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame([("Hello   World",), ("hello world",)], ["t"])
     fps = [r[0] for r in df.select(tx.fingerprint(F.col("t"))).collect()]
@@ -94,6 +144,50 @@ def test_jaccard_pairs(spark):
     assert (1, 2) in pairs and abs(pairs[(1, 2)] - round(9 / 11, 6)) < 1e-9
     assert (1, 3) not in pairs
     assert all(a != 4 and b != 4 for a, b in pairs)  # lang-blocked
+
+
+def test_jaccard_pairs_symmetric_banding(spark):
+    # round-1 regression: the one-sided ±1 band join dropped pairs
+    # where the LOWER id had MORE tokens — recall depended on id order
+    long_text = " ".join(f"w{i}" for i in range(14))  # band 2
+    short_text = " ".join(f"w{i}" for i in range(11))  # band 2→ jac 11/14
+    df = _docs(spark, [(1, long_text, "en"), (2, short_text, "en")])
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(df, 0.6).collect()}
+    assert (1, 2) in pairs
+    # and with the band boundary actually crossed (counts 9 vs 14:
+    # bands 1 vs 2, jac 9/14 ≈ 0.643 ≥ 0.6) in BOTH id orders
+    df2 = _docs(
+        spark,
+        [
+            (1, " ".join(f"a{i}" for i in range(14)), "en"),
+            (2, " ".join(f"a{i}" for i in range(9)), "en"),
+            (11, " ".join(f"b{i}" for i in range(9)), "en"),
+            (12, " ".join(f"b{i}" for i in range(14)), "en"),
+        ],
+    )
+    pairs2 = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(df2, 0.6).collect()}
+    assert (1, 2) in pairs2 and (11, 12) in pairs2
+
+
+def test_jaccard_pairs_complete_vs_bruteforce(spark):
+    # the threshold-derived band window must find EVERY pair the
+    # brute-force all-pairs Jaccard finds (length filter is lossless)
+    docs, toks = [], {}
+    for i in range(12):
+        n = 3 + (i * 7) % 17
+        t = [f"t{j}" for j in range(n)] + [f"u{i}"]
+        docs.append((i, " ".join(t), "en"))
+        toks[i] = set(t)
+    df = _docs(spark, docs)
+    truth = set()
+    for a in toks:
+        for b in toks:
+            if a < b:
+                jac = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+                if round(jac, 6) >= 0.6:
+                    truth.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(df, 0.6).collect()}
+    assert got == truth and truth  # non-vacuous
 
 
 def _py_minhash(tokens, i):
@@ -145,11 +239,73 @@ def test_simhash_pairs_near_dups(spark):
         spark,
         [(1, base, "en"), (2, base + " tail", "en"), (3, "x y z q r s", "en")],
     )
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(df, 4).collect()}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, max_hamming=4, bits=32, chunks=8).collect()
+    }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
 
 
+def test_simhash_pairs_chunk_blocking_is_exact(spark):
+    # candidates are blocked on signature chunks (NOT language /
+    # all-pairs): verify against the brute-force hamming ground truth
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(12)), "en") for i in range(8)]
+    docs.append((100, docs[3][1] + " x", "en"))  # near-dup of id 3
+    docs.append((101, docs[3][1], "en"))  # exact dup of id 3
+    df = _docs(spark, docs)
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(df, bits=32).collect()
+    }
+    ids = sorted(sigs)
+    truth = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, max_hamming=3, bits=32, chunks=4).collect()
+    }
+    assert got == truth and (3, 101) in got and got[(3, 101)] == 0
+
+
 # --- similarity ---------------------------------------------------------------
+
+def test_sketch_buckets_np_matches_expression_path(spark):
+    import math
+
+    vecs = [[math.sin(i * 0.71 + d * 0.13) for d in range(16)] for i in range(80)]
+    df = _emb(spark, vecs)
+    seeds = ["nd0", "nd1", "nd2"]
+    expr_rows = set()
+    for bi, seed in enumerate(seeds):
+        got = df.select(
+            "vec_id", sim.lsh_bucket(F.col("embedding"), 5, 16, seed=seed).alias("b")
+        ).collect()
+        expr_rows |= {(r["vec_id"], bi, r["b"]) for r in got}
+    np_rows = {
+        (r["vec_id"], r["band"], r["bucket"])
+        for r in sim.sketch_buckets_np(df, 5, 16, seeds).collect()
+    }
+    assert np_rows == expr_rows
+
+
+def test_embedding_near_dup_impls_agree(spark):
+    import math
+
+    vecs = [[math.sin(i * 0.47 + d) for d in range(8)] for i in range(50)]
+    vecs.append(list(vecs[7]))  # exact dup
+    df = _emb(spark, vecs)
+    kw = dict(threshold=0.95, n_planes=4, dims=8, bands=3)
+    a = {(r["id_a"], r["id_b"]) for r in sim.embedding_near_dup_pairs(df, **kw).collect()}
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup_pairs(df, impl="arrow", **kw).collect()
+    }
+    assert a == b and (7, 50) in a
+
 
 def _emb(spark, vecs):
     return spark.createDataFrame(
