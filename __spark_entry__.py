@@ -75,6 +75,54 @@ def _kernel_oracle(constraints: tuple[str, ...]) -> str:
     )
 
 
+# --- per-item / map-value kernels (SURVEY.md §2.3 forall) ------------------
+
+def _item_spec():
+    """Per-element constraints on array + map columns — the reference
+    validates every list item and every dict value against the field's
+    scalar constraints (src/lib.rs:874-918)."""
+    from satya_spark.spec import FieldSpec, TableSpec
+
+    return TableSpec(
+        name="item_kernels",
+        fields=(
+            FieldSpec("tags", "array<string>", pattern=r"^[A-Z0-9]$"),
+            FieldSpec("lens", "array<int>", ge=0, le=10_000_000),
+            FieldSpec("props", "map<string,int>", ge=0),
+        ),
+    )
+
+
+def _item_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = from_tpch(spark, sf_dir)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "tags",
+        F.array(F.col("turn_idx"), F.col("turn_idx") + 1).alias("lens"),
+        F.map_from_arrays(
+            F.array(F.lit("t"), F.lit("l")),
+            F.array(F.col("turn_idx"), F.coalesce(F.length("text"), F.lit(0))),
+        ).alias("props"),
+    )
+
+
+def q_kernel_item_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item pattern on tags (forall), per-item bounds on an int
+    array (array_min/max — codegen), per-VALUE bounds on a map."""
+    from satya_spark.compiler import compile_spec
+
+    return compile_spec(_item_spec()).violations_df(_item_df(spark, sf_dir), KEYS)
+
+
+_ITEM_DF_SQL = (
+    ", t2 AS (SELECT conv_id, turn_idx, tags, "
+    "[turn_idx, turn_idx + 1] AS lens, "
+    "MAP(['t','l'], [turn_idx, coalesce(length(text), 0)]) AS props "
+    "FROM transcripts)"
+)
+
+
 # --- cross-row / aggregate queries ----------------------------------------
 
 def q_row_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(
         {
+            "kernel_item_type": q_kernel_item_type,
             "row_violations": q_row_violations,
             "row_verdicts": q_row_verdicts,
             "bucket_verdicts": q_bucket_verdicts,
@@ -567,6 +616,14 @@ def oracle_sql() -> dict[str, str]:
     out["row_violations"] = _duck(
         "SELECT * FROM (\n"
         + _COMPILED.violations_sql("transcripts", KEYS)
+        + "\n) v"
+    )
+    from satya_spark.compiler import compile_spec as _cs
+
+    out["kernel_item_type"] = _duck(
+        _ITEM_DF_SQL
+        + " SELECT * FROM (\n"
+        + _cs(_item_spec()).violations_sql("t2", KEYS)
         + "\n) v"
     )
     out["row_verdicts"] = _duck(

@@ -83,16 +83,40 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
     rules: List[CompiledRule] = []
 
     is_array = f.dtype.startswith("array")
+    is_map = f.dtype.startswith("map")
     is_float = f.dtype in ("double", "float")
+    # element type (array<X> → X; map<K,V> → V — dict-VALUE checks,
+    # src/lib.rs:913-918)
+    elem_type = ""
+    if is_array or is_map:
+        inner = f.dtype[f.dtype.index("<") + 1 : f.dtype.rindex(">")]
+        elem_type = inner.split(",", 1)[1].strip() if is_map else inner.strip()
 
     def off_fns() -> tuple[Callable, str]:
         from pyspark.sql import functions as F
 
-        if is_array:
-            # portable list rendering: 'a,b,c' in both engines
+        if is_array or is_map:
+            # portable list rendering: 'a,b,c' in both engines (map →
+            # its values, insertion-ordered in both). Non-string
+            # elements go through element-wise CAST AS VARCHAR —
+            # identical for ints/strings; float arrays would need the
+            # DECIMAL trick and are not supported as offending values.
+            def _vals():
+                c = F.col(name)
+                return F.map_values(c) if is_map else c
+
+            vals_sql = f"map_values({name})" if is_map else name
+            if elem_type == "string":
+                return (
+                    lambda: F.concat_ws(",", _vals()),
+                    f"array_to_string({vals_sql}, ',')",
+                )
             return (
-                lambda: F.concat_ws(",", F.col(name)),
-                f"array_to_string({name}, ',')",
+                lambda: F.concat_ws(
+                    ",", F.transform(_vals(), lambda x: x.cast("string"))
+                ),
+                f"array_to_string(list_transform({vals_sql},"
+                f" x -> CAST(x AS VARCHAR)), ',')",
             )
         if is_float:
             # CAST(double AS STRING) formats differently across engines
@@ -148,8 +172,125 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
 
         return F
 
+    if is_array or is_map:
+        # --- per-item / map-value kernels ------------------------------
+        # The reference validates every list item and every dict VALUE
+        # against the field's own scalar constraints, recursively
+        # (src/lib.rs:874-918, exercised by
+        # tests/test_field_constraints.py:198-231). Same here: scalar
+        # constraints declared on an array/map field apply per element;
+        # container constraints (min/max_items, unique_items) below.
+        # NULL elements skip value rules, consistent with §2.2.
+        #
+        # Codegen note: numeric bounds compile to array_min/array_max
+        # comparisons (whole-stage codegen). String/regex per-item
+        # rules need F.forall — a CodegenFallback HOF that costs the
+        # enclosing projection its WSCG fusion — so specs that use
+        # them pay that only for themselves; the flagship transcript
+        # spec stays HOF-free (asserted in tests/test_engine.py).
+        def _vals():
+            F = FN()
+            c = F.col(name)
+            return F.map_values(c) if is_map else c
+
+        vals_sql = f"map_values({name})" if is_map else name
+
+        def add_item(cname: str, pred_fn: Callable, pred_sql: str) -> None:
+            """pred_fn: element Column -> ok Column (non-null input);
+            pred_sql: the same over lambda var ``x``."""
+            add(
+                cname,
+                lambda pred_fn=pred_fn: FN().forall(
+                    _vals(), lambda x: x.isNull() | pred_fn(x)
+                ),
+                f"len(list_filter({vals_sql},"
+                f" x -> x IS NOT NULL AND NOT ({pred_sql}))) = 0",
+            )
+
+        if f.min_length is not None:
+            n, ws = f.min_length, " \t\n\r\x0b\x0c"
+            add_item(
+                "min_length",
+                lambda x, n=n, ws=ws: FN().length(FN().trim(x, FN().lit(ws))) >= n,
+                f"length(trim(x, ' ' || chr(9) || chr(10) || chr(13)"
+                f" || chr(11) || chr(12))) >= {n}",
+            )
+        if f.max_length is not None:
+            n = f.max_length
+            add_item(
+                "max_length",
+                lambda x, n=n: FN().length(x) <= n,
+                f"length(x) <= {n}",
+            )
+        if f.pattern is not None:
+            p = f.pattern
+            add_item(
+                "pattern",
+                lambda x, p=p: x.rlike(p),
+                f"regexp_matches(x, {_sql_quote(p)})",
+            )
+        if f.email:
+            add_item(
+                "email",
+                lambda x: x.rlike(EMAIL_PATTERN)
+                & (FN().length(x) <= EMAIL_MAX_LEN),
+                f"(regexp_matches(x, {_sql_quote(EMAIL_PATTERN)})"
+                f" AND length(x) <= {EMAIL_MAX_LEN})",
+            )
+        if f.url:
+            add_item(
+                "url",
+                lambda x: x.rlike(URL_PATTERN),
+                f"regexp_matches(x, {_sql_quote(URL_PATTERN)})",
+            )
+        if f.enum is not None:
+            vals_lit = ", ".join(_sql_quote(v) for v in f.enum)
+            enum = f.enum
+            add_item(
+                "enum",
+                lambda x, enum=enum: x.isin(*enum),
+                f"x IN ({vals_lit})",
+            )
+        # numeric bounds: min/max over elements — pure codegen, no HOF
+        # (array_min/array_max and DuckDB list_aggregate both skip
+        # NULL elements; empty/all-null arrays yield NULL → no fire)
+        for cname, op_sql in (
+            ("ge", ">="),
+            ("le", "<="),
+            ("gt", ">"),
+            ("lt", "<"),
+            ("min_value", ">="),
+            ("max_value", "<="),
+        ):
+            v = getattr(f, cname)
+            if v is not None:
+                agg = "min" if op_sql in (">=", ">") else "max"
+
+                def _icmp(v=v, op=op_sql, agg=agg):
+                    F = FN()
+                    m = F.array_min(_vals()) if agg == "min" else F.array_max(_vals())
+                    return {
+                        ">=": m >= F.lit(v),
+                        "<=": m <= F.lit(v),
+                        ">": m > F.lit(v),
+                        "<": m < F.lit(v),
+                    }[op]
+
+                add(
+                    cname,
+                    _icmp,
+                    f"list_aggregate({vals_sql}, '{agg}') {op_sql} {_fmt_num(v)}",
+                )
+        if f.multiple_of is not None:
+            mi = int(f.multiple_of)
+            add_item(
+                "multiple_of",
+                lambda x, mi=mi: (x % mi) == 0,
+                f"(x % {mi}) = 0",
+            )
+
     # --- string kernels ---------------------------------------------
-    if f.min_length is not None:
+    if f.min_length is not None and not (is_array or is_map):
         n = f.min_length
         # trimmed min_length (src/satya/validator.py:226-229). The
         # reference trims with Python str.strip(); SQL trim() strips
@@ -166,21 +307,21 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
             f"length(trim({name}, ' ' || chr(9) || chr(10) || chr(13)"
             f" || chr(11) || chr(12))) >= {n}",
         )
-    if f.max_length is not None:
+    if f.max_length is not None and not (is_array or is_map):
         n = f.max_length
         add(
             "max_length",
             lambda n=n: FN().length(FN().col(name)) <= n,
             f"length({name}) <= {n}",
         )
-    if f.pattern is not None:
+    if f.pattern is not None and not (is_array or is_map):
         p = f.pattern
         add(
             "pattern",
             lambda p=p: FN().col(name).rlike(p),
             f"regexp_matches({name}, {_sql_quote(p)})",
         )
-    if f.email:
+    if f.email and not (is_array or is_map):
         # regex + max length 254 (src/lib.rs:947-969)
         add(
             "email",
@@ -189,13 +330,13 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
             f"(regexp_matches({name}, {_sql_quote(EMAIL_PATTERN)})"
             f" AND length({name}) <= {EMAIL_MAX_LEN})",
         )
-    if f.url:
+    if f.url and not (is_array or is_map):
         add(
             "url",
             lambda: FN().col(name).rlike(URL_PATTERN),
             f"regexp_matches({name}, {_sql_quote(URL_PATTERN)})",
         )
-    if f.enum is not None:
+    if f.enum is not None and not (is_array or is_map):
         vals = ", ".join(_sql_quote(v) for v in f.enum)
         enum = f.enum
         add(
@@ -205,7 +346,7 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
         )
 
     # --- numeric kernels --------------------------------------------
-    for cname, op_sql in (
+    for cname, op_sql in () if (is_array or is_map) else (
         ("ge", ">="),
         ("le", "<="),
         ("gt", ">"),
@@ -227,7 +368,7 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
                 }[op]
 
             add(cname, _cmp, f"{name} {op_sql} {_fmt_num(v)}")
-    if f.multiple_of is not None:
+    if f.multiple_of is not None and not (is_array or is_map):
         m = f.multiple_of
         if is_float:
             # ε-tolerant float modulo (src/satya/scalar_validators.py:164-169)

@@ -88,3 +88,89 @@ def test_field_violation_counts(spark):
     out = eng.field_violation_counts(synthesize(spark, 300)).collect()
     got = {(r["field"], r["constraint_name"]): r["n"] for r in out}
     assert ("role", "enum") in got and got[("role", "enum")] > 0
+
+
+def test_per_item_array_constraints(spark):
+    """Per-item recursion (src/lib.rs:874-918): scalar constraints on
+    an array field apply to every element; NULL elements and NULL
+    arrays skip value rules; container rules still apply."""
+    spec = TableSpec(
+        name="items",
+        fields=(
+            FieldSpec("tags", "array<string>", pattern=r"^[a-z]+$", min_items=1),
+            FieldSpec("nums", "array<int>", ge=0, le=100),
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            (1, ["ok", "fine"], [1, 2]),
+            (2, ["ok", "BAD"], [3]),          # item pattern violation
+            (3, ["ok"], [5, -1]),             # item ge violation
+            (4, ["ok"], [5, 101]),            # item le violation
+            (5, None, None),                  # null arrays skip all
+            (6, [], [0, 100]),                # empty tags -> min_items
+            (7, ["ok", None], [None, 7]),     # null ITEMS are skipped
+        ],
+        "id long, tags array<string>, nums array<int>",
+    )
+    rows = compile_spec(spec).violations_df(df, ["id"]).collect()
+    got = {(r["id"], r["field"], r["constraint_name"]) for r in rows}
+    assert got == {
+        (2, "tags", "pattern"),
+        (3, "nums", "ge"),
+        (4, "nums", "le"),
+        (6, "tags", "min_items"),
+    }
+    off = {(r["id"], r["field"]): r["offending_value"] for r in rows}
+    assert off[(2, "tags")] == "ok,BAD"
+    assert off[(3, "nums")] == "5,-1"
+
+
+def test_map_value_constraints(spark):
+    """Dict-VALUE checks (src/lib.rs:913-918): constraints apply to
+    map values; per-value bounds are codegen (array_min/max over
+    map_values)."""
+    spec = TableSpec(
+        name="maps",
+        fields=(FieldSpec("props", "map<string,int>", ge=0, le=10),),
+    )
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1, "b": 10}),
+            (2, {"a": -1}),
+            (3, {"a": 11}),
+            (4, None),
+        ],
+        "id long, props map<string,int>",
+    )
+    rows = compile_spec(spec).violations_df(df, ["id"]).collect()
+    got = {(r["id"], r["constraint_name"]) for r in rows}
+    assert got == {(2, "ge"), (3, "le")}
+
+
+def test_per_item_string_lengths_and_enum(spark):
+    spec = TableSpec(
+        name="strs",
+        fields=(
+            FieldSpec("a", "array<string>", min_length=2, max_length=4),
+            FieldSpec("b", "array<string>", enum=("x", "y")),
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            (1, ["ab", "abcd"], ["x", "y"]),
+            (2, ["a"], ["x"]),            # item too short (trimmed)
+            (3, [" b "], ["x"]),          # trims to 1 char -> short
+            (4, ["abcde"], ["x"]),        # item too long (raw)
+            (5, ["ab"], ["z"]),           # not in enum
+        ],
+        "id long, a array<string>, b array<string>",
+    )
+    rows = compile_spec(spec).violations_df(df, ["id"]).collect()
+    got = {(r["id"], r["field"], r["constraint_name"]) for r in rows}
+    assert got == {
+        (2, "a", "min_length"),
+        (3, "a", "min_length"),
+        (4, "a", "max_length"),
+        (5, "b", "enum"),
+    }
