@@ -34,6 +34,26 @@ def _build_spec(args):
     raise SystemExit(f"unknown --spec {args.spec!r} and no --schema given")
 
 
+def _input_fingerprint(path: str) -> str:
+    """Cheap content identity for resume scoping: digest of the
+    sorted (name, size, mtime) listing (single file or directory).
+    On Iceberg this would be the snapshot id."""
+    import hashlib
+    import os
+
+    entries = []
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(f"{os.path.relpath(p, path)}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+
+
 def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -71,7 +91,9 @@ def cmd_validate(args) -> int:
         df = coerce(df, spec)
 
     if args.manifest:
-        verdicts = eng.run_resumable(df, args.manifest)
+        verdicts = eng.run_resumable(
+            df, args.manifest, fingerprint=_input_fingerprint(args.input)
+        )
     else:
         verdicts = eng.shard_verdicts(eng.annotate(df))
     verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")

@@ -43,15 +43,65 @@ _CONSTRAINT_KEYS = (
 )
 
 
+_SUGGESTIONS = {
+    "required": "provide a non-null value",
+    "type": "pass a value of the declared type",
+    "min_length": "lengthen the value (whitespace is trimmed first)",
+    "max_length": "shorten the value",
+    "pattern": "match the declared regex",
+    "email": "use a valid email address (max 254 chars)",
+    "url": "use an http(s):// URL",
+    "enum": "use one of the allowed values",
+    "ge": "increase the value",
+    "gt": "increase the value",
+    "le": "decrease the value",
+    "lt": "decrease the value",
+    "min_value": "increase the value",
+    "max_value": "decrease the value",
+    "multiple_of": "use a multiple of the declared step",
+    "min_items": "add items",
+    "max_items": "remove items",
+    "unique_items": "remove duplicate items",
+}
+
+
 class ValidationError:
-    """ValidationError shape (src/satya/__init__.py:20-48)."""
+    """ValidationError shape (src/satya/__init__.py:20-48): field,
+    message, dotted ``path``, offending ``value``, ``constraint`` name
+    and a human ``suggestion``."""
 
-    __slots__ = ("field", "message", "value")
+    __slots__ = ("field", "message", "path", "value", "constraint", "suggestion")
 
-    def __init__(self, field: str, message: str, value: Any = None):
+    def __init__(
+        self,
+        field: str,
+        message: str,
+        value: Any = None,
+        path: Optional[List[str]] = None,
+        constraint: Optional[str] = None,
+        suggestion: Optional[str] = None,
+    ):
         self.field = field
         self.message = message
+        self.path = path if path is not None else field.split(".")
         self.value = value
+        self.constraint = constraint
+        self.suggestion = (
+            suggestion
+            if suggestion is not None
+            else _SUGGESTIONS.get(constraint or "", None)
+        )
+
+    def __str__(self) -> str:
+        loc = ".".join(self.path) if self.path else self.field
+        parts = [f"{loc}: {self.message}"]
+        if self.value is not None:
+            parts.append(f"  Value: {self.value!r}")
+        if self.constraint:
+            parts.append(f"  Constraint: {self.constraint}")
+        if self.suggestion:
+            parts.append(f"  Suggestion: {self.suggestion}")
+        return "\n".join(parts)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"ValidationError(field={self.field!r}, message={self.message!r})"
@@ -133,9 +183,67 @@ class StreamValidator:
             f"`{n}` {spark_type(kw['dtype'])}" for n, kw in self._fields.items()
         )
 
-    def _rows(self, items: List[dict]):
-        # missing key ≡ null (SURVEY.md §2.2)
-        return [tuple(i.get(n) for n in self._fields) for i in items]
+    @staticmethod
+    def _type_check(v: Any, dtype: str):
+        """Strict type conformance (bool ≠ int, src/lib.rs:614,804-807).
+        Returns (ok_value_for_df, error_message|None). A mismatch is a
+        per-field ValidationError — NOT a batch-aborting exception
+        (reference StreamValidator accumulates it like any other
+        failure)."""
+        import datetime as _dt
+
+        if v is None:
+            return None, None
+        if dtype == "string":
+            return (v, None) if isinstance(v, str) else (None, "str")
+        if dtype in ("long", "int"):
+            if isinstance(v, int) and not isinstance(v, bool):
+                return v, None
+            return None, "int"
+        if dtype == "double":
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return float(v), None
+            return None, "float"
+        if dtype == "bool":
+            return (v, None) if isinstance(v, bool) else (None, "bool")
+        if dtype == "timestamp":
+            if isinstance(v, _dt.datetime):
+                return v, None
+            if isinstance(v, str):
+                try:  # ISO with Z→+00:00, the coercion-tier rule
+                    return _dt.datetime.fromisoformat(v.replace("Z", "+00:00")), None
+                except ValueError:
+                    return None, "datetime"
+            return None, "datetime"
+        if dtype.startswith("array"):
+            if isinstance(v, (list, tuple)):
+                return list(v), None
+            return None, "list"
+        return v, None
+
+    def _ingest(self, items: List[dict]):
+        """(rows for createDataFrame, per-item type errors). Missing
+        key ≡ null (SURVEY.md §2.2); type-mismatched values become
+        null in the frame (value rules skip them) and carry a type
+        ValidationError."""
+        rows, type_errs = [], []
+        for item in items:
+            vals, errs = [], []
+            for n, kw in self._fields.items():
+                ok_v, want = self._type_check(item.get(n), kw["dtype"])
+                vals.append(ok_v)
+                if want is not None:
+                    errs.append(
+                        ValidationError(
+                            n,
+                            f"Expected {want}, got {type(item.get(n)).__name__}",
+                            value=item.get(n),
+                            constraint="type",
+                        )
+                    )
+            rows.append(tuple(vals))
+            type_errs.append(errs)
+        return rows, type_errs
 
     # -- validation entry points ----------------------------------------
     def validate(self, item: dict) -> ValidationResult:
@@ -145,21 +253,33 @@ class StreamValidator:
     def validate_batch(self, items: List[dict]) -> List[bool]:
         """list of dicts → list of bool (src/lib.rs:359-392)."""
         compiled = self._ensure()
-        df = self._spark.createDataFrame(self._rows(items), self._schema())
-        return [r["valid"] for r in compiled.with_validation(df).collect()]
+        rows, type_errs = self._ingest(items)
+        df = self._spark.createDataFrame(rows, self._schema())
+        return [
+            bool(r["valid"]) and not errs
+            for r, errs in zip(compiled.with_validation(df).collect(), type_errs)
+        ]
 
     def validate_batch_results(self, items: List[dict]) -> List[ValidationResult]:
         compiled = self._ensure()
-        df = self._spark.createDataFrame(self._rows(items), self._schema())
+        rows, type_errs = self._ingest(items)
+        df = self._spark.createDataFrame(rows, self._schema())
         out = []
-        for item, row in zip(items, compiled.with_validation(df).collect()):
-            errs = [
+        for item, row, terrs in zip(
+            items, compiled.with_validation(df).collect(), type_errs
+        ):
+            # a mistyped value was PRESENT: suppress the 'required'
+            # violation its null placeholder would otherwise raise
+            mistyped = {e.field for e in terrs}
+            errs = list(terrs) + [
                 ValidationError(
                     v["field"],
                     f"{v['constraint_name']} violated",
-                    v["offending_value"],
+                    value=v["offending_value"],
+                    constraint=v["constraint_name"],
                 )
                 for v in row["violations"]
+                if not (v["constraint_name"] == "required" and v["field"] in mistyped)
             ]
             out.append(ValidationResult(value=item if not errs else None, errors=errs))
         return out

@@ -504,6 +504,18 @@ class CompiledSpec:
             *key_cols, "v.field", "v.constraint_name", "v.offending_value"
         )
 
+    def spec_hash(self) -> str:
+        """Deterministic digest of the compiled constraint set (field,
+        constraint, SQL predicate triples) — folded into the manifest
+        fingerprint so a changed spec never resumes over stale shard
+        records."""
+        import hashlib
+
+        body = "|".join(
+            f"{r.field}:{r.constraint}:{r.fail_sql}" for r in self.rules
+        )
+        return hashlib.md5(body.encode()).hexdigest()[:16]
+
     # ---- oracle side --------------------------------------------------
     def violations_sql(self, table: str, key_cols: List[str]) -> str:
         """DuckDB SQL computing the identical violation rows via

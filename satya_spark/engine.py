@@ -208,14 +208,19 @@ class ValidationEngine:
 
         A killed job restarts and reprocesses only unrecorded shards
         (manifest writes are atomic per file). Idempotent: re-running
-        a fully recorded input validates nothing.
+        a fully recorded input validates nothing. Resume is scoped to
+        the EFFECTIVE fingerprint = caller's input fingerprint + a
+        hash of the compiled spec, so pointing the same manifest path
+        at different data or a changed spec re-validates instead of
+        silently skipping (round-1 advice).
         """
         spark = df.sparkSession
         manifest = Manifest(spark, manifest_path)
         run_id = run_id or new_run_id()
+        fingerprint = f"{fingerprint}|spec:{self.compiled.spec_hash()}"
 
         with_shard = df.withColumn("shard", shard_col(self.n_shards, self.shard_key))
-        todo = pending_shards(with_shard, manifest).drop("shard")
+        todo = pending_shards(with_shard, manifest, fingerprint).drop("shard")
         annotated = self.annotate(todo)
         t0 = time.monotonic()
         verdicts = self.shard_verdicts(annotated).collect()

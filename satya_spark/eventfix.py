@@ -7,6 +7,10 @@ Planted rows (event_id % 101 == 0, re-keyed +1,000,000):
   value=-1.0          -> gt violation
   props='not json'    -> JSON-validity violation
   user_id += 9999     -> dangling reference vs customer
+Planted rows (event_id % 103 == 0, re-keyed +2,000,000):
+  props='[1,2]'       -> valid JSON but NOT an object -> JSON rule
+                         (the Spark/DuckDB divergence case from the
+                         round-1 advice: bare json_valid accepts it)
 """
 
 from __future__ import annotations
@@ -21,6 +25,9 @@ ev AS (
   UNION ALL
   SELECT event_id + 1000000, ts, user_id + 9999, 'hover', -1.0, 'not json'
   FROM events WHERE event_id % 101 = 0
+  UNION ALL
+  SELECT event_id + 2000000, ts, user_id, 'click', 1.0, '[1,2]'
+  FROM events WHERE event_id % 103 = 0
 )
 """
 
@@ -65,9 +72,16 @@ def events_spec() -> TableSpec:
         references=(("user_id", "customer"),),
         row_rules=(
             RowRule(
+                # Spark semantics: props must parse as a JSON OBJECT
+                # (from_json map<string,string> nulls on arrays /
+                # scalars). The oracle matches exactly: bare
+                # json_valid() would accept '[1,2]' / '123' (verified
+                # divergence, round-1 advice) — json_type must be
+                # OBJECT too.
                 "props_json_valid",
                 _props_invalid,
-                "(props IS NOT NULL AND NOT json_valid(props))",
+                "(props IS NOT NULL AND NOT (json_valid(props)"
+                " AND json_type(props) = 'OBJECT'))",
             ),
         ),
     )

@@ -22,6 +22,7 @@ import json
 import os
 import time
 import uuid
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,11 +69,15 @@ class Manifest:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(*files)
 
-    def completed_shards(self) -> set[int]:
-        return {
-            r["shard"]
-            for r in self.read().select("shard").distinct().collect()
-        }
+    def completed_shards(self, fingerprint: Optional[str] = None) -> set[int]:
+        """Shards recorded complete — scoped to ``fingerprint`` when
+        given (non-empty): a manifest path reused against DIFFERENT
+        input (or a changed spec) must not silently skip everything.
+        ``None``/'' keeps the unscoped legacy behavior."""
+        df = self.read()
+        if fingerprint:
+            df = df.filter(F.col("input_fingerprint") == fingerprint)
+        return {r["shard"] for r in df.select("shard").distinct().collect()}
 
     def append(self, rows: list[dict]) -> None:
         """Atomic-enough append: single-file parquet written to a
@@ -105,8 +110,11 @@ class Manifest:
         os.rename(tmp, os.path.join(self.path, fname))
 
 
-def pending_shards(df_with_shard: DataFrame, manifest: Manifest) -> DataFrame:
-    """Filter the input down to shards not yet recorded complete.
+def pending_shards(
+    df_with_shard: DataFrame, manifest: Manifest, fingerprint: Optional[str] = None
+) -> DataFrame:
+    """Filter the input down to shards not yet recorded complete
+    (for this ``fingerprint``, when given).
 
     Driver-side set lookup (the completed-shard set is tiny: one int
     per shard) pushed into the scan as an ``isin`` filter — this
@@ -114,7 +122,7 @@ def pending_shards(df_with_shard: DataFrame, manifest: Manifest) -> DataFrame:
     shard function. An anti-join alternative is equivalent but adds a
     shuffle for no benefit at this cardinality.
     """
-    done = manifest.completed_shards()
+    done = manifest.completed_shards(fingerprint)
     if not done:
         return df_with_shard
     return df_with_shard.filter(~F.col("shard").isin(*sorted(done)))

@@ -61,3 +61,50 @@ def test_enum_and_pattern_via_compat(spark):
         True,
         False,
     ]
+
+
+def test_type_mismatch_is_error_not_crash(validator):
+    # ADVICE r1: validate({'age': 'thirty'}) must return a type
+    # ValidationError, not abort the batch with a PySparkTypeError
+    res = validator.validate({"name": "ok", "age": "thirty"})
+    assert not res.is_valid
+    errs = {(e.field, e.constraint) for e in res.errors}
+    assert ("age", "type") in errs
+    # one bad record must not poison its neighbours
+    bools = validator.validate_batch(
+        [{"name": "ok", "age": 30}, {"name": "ok", "age": "thirty"}, {"name": "ok", "age": 31}]
+    )
+    assert bools == [True, False, True]
+
+
+def test_bool_is_not_int(validator):
+    # src/lib.rs:614,804-807: bool must not satisfy an int field
+    res = validator.validate({"name": "ok", "age": True})
+    assert not res.is_valid
+    assert any(e.constraint == "type" and e.field == "age" for e in res.errors)
+
+
+def test_type_error_skips_value_rules(validator):
+    # a type-mismatched value reports ONLY the type error, not
+    # downstream constraint noise on the nulled value
+    res = validator.validate({"name": 123, "age": 30})
+    cons = [e.constraint for e in res.errors]
+    assert cons == ["type"]
+
+
+def test_validation_error_fidelity(validator):
+    # path/constraint/suggestion fields (src/satya/__init__.py:20-48)
+    res = validator.validate({"name": "", "age": 500})
+    by_field = {e.field: e for e in res.errors}
+    e = by_field["age"]
+    assert e.constraint in ("le", "max_value") and e.path == ["age"]
+    assert e.suggestion and "decrease" in e.suggestion
+    assert "age" in str(e) and "Constraint" in str(e)
+
+
+def test_datetime_string_coerces(spark):
+    v = StreamValidator(spark)
+    v.add_field("ts", "datetime")
+    assert v.validate({"ts": "2024-01-01T10:00:00Z"}).is_valid
+    bad = v.validate({"ts": "not a date"})
+    assert not bad.is_valid and bad.errors[0].constraint == "type"

@@ -36,7 +36,9 @@ def test_resume_skips_validated_shards(spark, tmp_path):
                 "n_invalid_rows": 0,
                 "n_rule_violations": 0,
                 "wall_ms": 0,
-                "input_fingerprint": "f",
+                # resume is scoped: records only count when their
+                # fingerprint matches this run's (input fp + spec hash)
+                "input_fingerprint": f"|spec:{eng.compiled.spec_hash()}",
                 "completed_at_ms": 0,
             }
             for s in range(4)
@@ -104,3 +106,38 @@ def test_manifest_atomic_append_visible(spark, tmp_path):
     assert m.completed_shards() == {3}
     row = m.read().collect()[0]
     assert row["n_rows"] == 10 and row["run_id"] == "r"
+
+
+def test_resume_scoped_to_fingerprint(spark, tmp_path):
+    """Round-1 advice: rerunning against DIFFERENT input (or a changed
+    spec) must re-validate, not silently skip shards recorded by any
+    prior run at the same manifest path."""
+    eng = ValidationEngine(transcript_spec(), n_shards=4)
+    df = synthesize(spark, n_conv=60).cache()
+    mpath = str(tmp_path / "m")
+
+    first = eng.run_resumable(df, mpath, run_id="r1", fingerprint="inputA")
+    assert first.count() == 4
+
+    # same input -> fully resumed, nothing re-validated
+    again = eng.run_resumable(df, mpath, run_id="r2", fingerprint="inputA")
+    assert again.count() == 0
+
+    # different input fingerprint -> all shards re-validated
+    other = eng.run_resumable(df, mpath, run_id="r3", fingerprint="inputB")
+    assert other.count() == 4
+
+    # changed spec (different compiled hash) -> re-validated too
+    from satya_spark.spec import FieldSpec, TableSpec
+
+    eng2 = ValidationEngine(
+        TableSpec(
+            name="transcripts2",
+            fields=(FieldSpec("conv_id", "string", required=True),),
+            unique_key=("conv_id",),
+        ),
+        n_shards=4,
+    )
+    changed = eng2.run_resumable(df, mpath, run_id="r4", fingerprint="inputA")
+    assert changed.count() == 4
+    df.unpersist()
