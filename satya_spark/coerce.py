@@ -29,6 +29,10 @@ _NUMERIC = {"int", "long", "double", "float"}
 
 def coerce_column(f: FieldSpec, col: Column) -> Column:
     out = col
+    if f.before is not None:
+        # @field_validator(mode='before') transform: runs ahead of
+        # declared transforms, casts, and every kernel
+        out = f.before(out)
     if f.strip_whitespace:
         out = F.trim(out)
     if f.to_lower:

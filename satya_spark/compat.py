@@ -36,6 +36,20 @@ _TYPE_MAP = {
     "list[str]": "array<string>",
 }
 
+# special-type presets (src/satya/special_types.py:139-238): usable as
+# the field_type in add_field, e.g. add_field("age", "PositiveInt")
+_PRESETS = {
+    "emailstr": ("string", {"email": True}),
+    "httpurl": ("string", {"url": True}),
+    "positiveint": ("long", {"gt": 0}),
+    "negativeint": ("long", {"lt": 0}),
+    "nonnegativeint": ("long", {"ge": 0}),
+    "positivefloat": ("double", {"gt": 0.0}),
+    "negativefloat": ("double", {"lt": 0.0}),
+    "nonnegativefloat": ("double", {"ge": 0.0}),
+    "secretstr": ("string", {"secret": True}),
+}
+
 _CONSTRAINT_KEYS = (
     "min_length", "max_length", "pattern", "email", "url", "enum",
     "ge", "le", "gt", "lt", "min_value", "max_value", "multiple_of",
@@ -143,8 +157,13 @@ class StreamValidator:
         kwargs: Dict[str, Any] = {}
         if ftype in ("email", "url"):
             kwargs[ftype] = True
+        if ftype.lower() in _PRESETS:
+            dtype, preset_kw = _PRESETS[ftype.lower()]
+            kwargs.update(preset_kw)
+        else:
+            dtype = _TYPE_MAP.get(ftype.lower(), "string")
         self._fields[name] = {
-            "dtype": _TYPE_MAP.get(ftype.lower(), "string"),
+            "dtype": dtype,
             "required": required,
             **kwargs,
         }

@@ -95,6 +95,10 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
     def off_fns() -> tuple[Callable, str]:
         from pyspark.sql import functions as F
 
+        if f.secret:
+            # SecretStr: the offending value never leaves the engine
+            # (src/satya/special_types.py SecretStr repr masking)
+            return lambda: F.lit("**********"), "'**********'"
         if is_array or is_map:
             # portable list rendering: 'a,b,c' in both engines (map →
             # its values, insertion-ordered in both). Non-string

@@ -202,6 +202,7 @@ class ValidationEngine:
         catalogs: Optional[Dict[str, DataFrame]] = None,
         run_id: Optional[str] = None,
         fingerprint: str = "",
+        profile: bool = False,
     ) -> DataFrame:
         """Validate only shards absent from the manifest; append their
         verdicts + metrics. Returns this run's shard verdicts.
@@ -226,6 +227,11 @@ class ValidationEngine:
         verdicts = self.shard_verdicts(annotated).collect()
         wall_ms = int((time.monotonic() - t0) * 1000)
         now_ms = int(time.time() * 1000)
+        profile_json = None
+        if profile and verdicts:
+            import json as _json
+
+            profile_json = _json.dumps(self.profile_kernels(todo))
         manifest.append(
             [
                 {
@@ -238,6 +244,7 @@ class ValidationEngine:
                     "wall_ms": wall_ms,
                     "input_fingerprint": fingerprint,
                     "completed_at_ms": now_ms,
+                    "profile": profile_json,
                 }
                 for r in verdicts
             ]
@@ -295,6 +302,46 @@ class ValidationEngine:
         )
 
     # --- profiling (per-field counters, src/satya/profiling.py:15-40) ----
+    def profile_kernels(self, df: DataFrame) -> list:
+        """Per-FIELD validation timing + error counts — the FieldStats
+        analog (src/satya/profiling.py:15-40). Each field's combined
+        kernel conjunction is timed as its own aggregation pass over
+        the input (opt-in: costs one scan per field; counts come from
+        the same pass). Expression-level timing inside one fused
+        projection isn't observable from outside the JVM — isolated
+        passes are the honest columnar equivalent of satya's per-field
+        stopwatch, and relative cost between fields is what the
+        numbers are for."""
+        out = []
+        by_field: Dict[str, list] = {}
+        for r in self.compiled.rules:
+            by_field.setdefault(r.field, []).append(r)
+        for fname, rules in by_field.items():
+            fails = None
+            for r in rules:
+                c = F.coalesce(r.fail, F.lit(False)).cast("long")
+                fails = c if fails is None else fails + c
+            t0 = time.monotonic()
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(fails).alias("errors"),
+                F.sum((fails > 0).cast("long")).alias("rows_with_errors"),
+            ).collect()[0]
+            wall_us = (time.monotonic() - t0) * 1e6
+            n = int(row["n"] or 0)
+            out.append(
+                {
+                    "field_name": fname,
+                    "validation_count": n,
+                    "errors": int(row["errors"] or 0),
+                    "rows_with_errors": int(row["rows_with_errors"] or 0),
+                    "n_kernels": len(rules),
+                    "total_time_us": round(wall_us, 2),
+                    "avg_time_us": round(wall_us / n, 4) if n else 0.0,
+                }
+            )
+        return out
+
     def field_violation_counts(self, df: DataFrame) -> DataFrame:
         """(field, constraint_name, n) — the per-field error-counter
         profile, one scan."""

@@ -13,7 +13,8 @@ function, so the resume filter becomes partition pruning at the scan
 with one atomically-renamed file per (run, shard-batch).
 
 Each manifest row: run_id, shard, n_rows, n_valid, n_violations,
-n_rule_violations, wall_ms, input_fingerprint, completed_at_ms.
+n_rule_violations, wall_ms, input_fingerprint, completed_at_ms,
+profile (optional per-field kernel timing JSON).
 """
 
 from __future__ import annotations
@@ -39,6 +40,8 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("wall_ms", T.LongType()),
         T.StructField("input_fingerprint", T.StringType()),
         T.StructField("completed_at_ms", T.LongType()),
+        # per-field kernel timing profile (JSON, engine.profile_kernels)
+        T.StructField("profile", T.StringType()),
     ]
 )
 
@@ -99,6 +102,7 @@ class Manifest:
                 pa.field("wall_ms", pa.int64()),
                 pa.field("input_fingerprint", pa.string()),
                 pa.field("completed_at_ms", pa.int64()),
+                pa.field("profile", pa.string()),
             ]
         )
         table = pa.Table.from_pylist(

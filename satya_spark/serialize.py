@@ -39,7 +39,12 @@ def dump(
         if f.name in exclude:
             continue
         out_name = f.alias if (by_alias and f.alias) else f.name
-        cols.append(F.col(f.name).alias(out_name))
+        c = F.col(f.name)
+        if f.after is not None:
+            # @field_validator(mode='after') value transform: applied
+            # to the validated value on the way OUT
+            c = f.after(c)
+        cols.append(c.alias(out_name))
     return df.select(*cols)
 
 

@@ -105,6 +105,23 @@ class FieldSpec:
     # output rename on dump (src/satya/__init__.py:129, 774-776)
     alias: Optional[str] = None
 
+    # @field_validator transform slots (src/satya/validators.py:66-107):
+    # 'before' — Column transform applied BEFORE coercion + kernels
+    # (mode='before' semantics); 'after' — Column transform applied to
+    # the validated value on output/dump (mode='after' value-rewriting
+    # semantics; boolean 'after' CHECKS are RowRules). mode='plain'
+    # maps to before + no other rules; mode='wrap' (imperative handler
+    # call) has no declarative analog — documented N-A in COVERAGE.md.
+    # Callables take and return a pyspark Column; compare=False keeps
+    # the frozen dataclass hashable/comparable.
+    before: Optional[Callable[[Any], Any]] = dc_field(default=None, compare=False)
+    after: Optional[Callable[[Any], Any]] = dc_field(default=None, compare=False)
+
+    # SecretStr semantics (src/satya/special_types.py:17-47): the
+    # VALUE never appears in violation rows — masked like the
+    # reference's repr masking
+    secret: bool = False
+
     def constraints(self) -> list[str]:
         """Names of active constraints, in deterministic order."""
         out: list[str] = []

@@ -141,3 +141,25 @@ def test_resume_scoped_to_fingerprint(spark, tmp_path):
     changed = eng2.run_resumable(df, mpath, run_id="r4", fingerprint="inputA")
     assert changed.count() == 4
     df.unpersist()
+
+
+def test_manifest_carries_kernel_profile(spark, tmp_path):
+    """VERDICT r1 #10: per-field kernel timing (src/satya/profiling.py
+    FieldStats analog) persisted with the manifest rows."""
+    import json
+
+    eng = ValidationEngine(transcript_spec(), n_shards=4)
+    df = synthesize(spark, n_conv=50)
+    out = eng.run_resumable(
+        df, str(tmp_path / "m"), run_id="p1", fingerprint="in", profile=True
+    )
+    rows = out.collect()
+    assert rows and all(r["profile"] for r in rows)
+    prof = json.loads(rows[0]["profile"])
+    by_field = {p["field_name"]: p for p in prof}
+    assert set(by_field) == {f.name for f in transcript_spec().fields}
+    for p in prof:
+        assert p["validation_count"] > 0 and p["total_time_us"] > 0
+        assert p["n_kernels"] >= 1
+    # planted '' texts -> text field must show errors
+    assert by_field["text"]["errors"] > 0

@@ -174,3 +174,89 @@ def test_per_item_string_lengths_and_enum(spark):
         (4, "a", "max_length"),
         (5, "b", "enum"),
     }
+
+
+def test_special_type_presets(spark):
+    """Preset FieldSpecs mirror src/satya/special_types.py:139-238."""
+    from satya_spark import special_types as st
+
+    spec = TableSpec(
+        name="presets",
+        fields=(
+            st.PositiveInt("count"),
+            st.NonNegativeFloat("ratio"),
+            st.EmailStr("mail"),
+            st.HttpUrl("site"),
+            st.PathStr("path"),
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            (1, 3, 0.0, "a@b.co", "https://x.io", "/tmp/f"),
+            (2, 0, -0.5, "nope", "ftp://x", ""),
+        ],
+        "id long, count long, ratio double, mail string, site string, path string",
+    )
+    rows = compile_spec(spec).violations_df(df, ["id"]).collect()
+    got = {(r["id"], r["field"], r["constraint_name"]) for r in rows}
+    assert got == {
+        (2, "count", "gt"),
+        (2, "ratio", "ge"),
+        (2, "mail", "email"),
+        (2, "site", "url"),
+        (2, "path", "min_length"),
+        (2, "path", "pattern"),  # '' fails the shape regex too
+    }
+
+
+def test_secret_str_masks_offending_value(spark):
+    from satya_spark import special_types as st
+
+    spec = TableSpec(
+        name="secrets", fields=(st.SecretStr("pwd", min_length=8),)
+    )
+    df = spark.createDataFrame([(1, "hunter2")], "id long, pwd string")
+    rows = compile_spec(spec).violations_df(df, ["id"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["offending_value"] == "**********"
+    assert "hunter2" not in str(rows)
+
+
+def test_before_transform_runs_ahead_of_kernels(spark):
+    """@field_validator(mode='before') analog: a Column transform
+    applied before coercion and every kernel
+    (src/satya/validators.py:66-107)."""
+    from satya_spark.coerce import coerce
+
+    spec = TableSpec(
+        name="t",
+        fields=(
+            FieldSpec(
+                "handle",
+                "string",
+                pattern=r"^[a-z]+$",
+                before=lambda c: F.regexp_replace(F.lower(c), "^@", ""),
+            ),
+        ),
+    )
+    df = spark.createDataFrame([("@Alice",), ("bob",)], "handle string")
+    out = coerce(df, spec)
+    assert [r["handle"] for r in out.collect()] == ["alice", "bob"]
+    assert compile_spec(spec).violations_df(out, ["handle"]).count() == 0
+
+
+def test_after_transform_applies_on_dump(spark):
+    """@field_validator(mode='after') value-rewrite analog: applied to
+    the validated value on output."""
+    from satya_spark.serialize import dump
+
+    spec = TableSpec(
+        name="t",
+        fields=(
+            FieldSpec("name", "string", after=lambda c: F.initcap(c)),
+            FieldSpec("n", "long"),
+        ),
+    )
+    df = spark.createDataFrame([("alice smith", 1)], "name string, n long")
+    out = dump(df, spec).collect()
+    assert out[0]["name"] == "Alice Smith" and out[0]["n"] == 1
