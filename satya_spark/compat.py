@@ -234,10 +234,43 @@ class StreamValidator:
                 except ValueError:
                     return None, "datetime"
             return None, "datetime"
+        if dtype.startswith("decimal"):
+            import decimal as _dec
+
+            if isinstance(v, _dec.Decimal):
+                return v, None
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return _dec.Decimal(str(v)), None
+            if isinstance(v, str):
+                try:
+                    return _dec.Decimal(v), None
+                except _dec.InvalidOperation:
+                    return None, "Decimal"
+            return None, "Decimal"
         if dtype.startswith("array"):
-            if isinstance(v, (list, tuple)):
-                return list(v), None
-            return None, "list"
+            if not isinstance(v, (list, tuple)):
+                return None, "list"
+            inner = dtype[dtype.index("<") + 1 : dtype.rindex(">")]
+            out = []
+            for item in v:
+                ok_item, want = StreamValidator._type_check(item, inner)
+                if want is not None:
+                    return None, f"list[{want}]"
+                out.append(ok_item)
+            return out, None
+        if dtype.startswith("map"):
+            if not isinstance(v, dict):
+                return None, "dict"
+            vt = dtype[dtype.index("<") + 1 : dtype.rindex(">")].split(",", 1)[1].strip()
+            out = {}
+            for k, item in v.items():
+                if not isinstance(k, str):
+                    return None, "dict[str,...]"
+                ok_item, want = StreamValidator._type_check(item, vt)
+                if want is not None:
+                    return None, f"dict[str,{want}]"
+                out[k] = ok_item
+            return out, None
         return v, None
 
     def _ingest(self, items: List[dict]):

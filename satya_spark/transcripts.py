@@ -164,13 +164,38 @@ def with_clause(dialect: str) -> str:
     return "WITH " + _expand_split(transcripts_cte(dialect), dialect)
 
 
+# sf_dir -> parquet path of a pre-staged fixture (see stage_fixture)
+_STAGED: dict[str, str] = {}
+
+
 def from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive the transcripts DataFrame from ``{sf_dir}/lineitem.parquet``."""
+    """Derive the transcripts DataFrame from ``{sf_dir}/lineitem.parquet``
+    (or read the pre-staged copy when :func:`stage_fixture` ran)."""
+    staged = _STAGED.get(sf_dir)
+    if staged is not None:
+        return spark.read.parquet(staged)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
         "lineitem"
     )
     spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
     return spark.sql(with_clause("spark") + " SELECT * FROM transcripts")
+
+
+def stage_fixture(spark: SparkSession, sf_dir: str, path: str) -> str:
+    """Materialize the derived fixture ONCE and serve every subsequent
+    :func:`from_tpch` call from parquet. The derivation includes a
+    row_number window (sort + shuffle); without staging, a bench run
+    of 36 gate queries pays that window 36 times and measures fixture
+    derivation instead of the operators (round-1 verdict: most of the
+    28.7s suite). Correctness gates do NOT stage — the driver compares
+    the live derivation against DuckDB running the identical SQL."""
+    from_tpch(spark, sf_dir).write.mode("overwrite").parquet(path)
+    _STAGED[sf_dir] = path
+    return path
+
+
+def unstage_fixture(sf_dir: str) -> None:
+    _STAGED.pop(sf_dir, None)
 
 
 def tool_catalog_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:

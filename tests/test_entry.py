@@ -32,9 +32,10 @@ def test_query_oracle_keys_align():
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # oracle-less queries are intentional (non-SQL-expressible paths:
-    # LSH approximate search, Arrow mapInPandas) — keep this list tight
-    assert set(qs) - set(os_) == {"ann_ivf_topk", "media_features"}
+    # round 2: every query is fully oracled — approximate search via
+    # embedded plane/centroid constants, the multimodal featurizer
+    # reconstructed in SQL. Keep it that way.
+    assert set(qs) - set(os_) == set()
 
 
 @pytest.fixture(scope="module")

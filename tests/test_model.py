@@ -1,0 +1,108 @@
+"""Model facade: the reference's ``class User(Model)`` declaration
+surface (src/satya/__init__.py:215-337) driving the Spark engine —
+single records via the cached StreamValidator, tables via
+``validate_df`` (the scale path)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pytest
+
+from satya_spark.model import (
+    EmailStr,
+    Field,
+    Model,
+    ModelValidationError,
+    PositiveInt,
+    SecretStr,
+)
+
+
+class User(Model):
+    name: str = Field(min_length=2, max_length=20)
+    age: PositiveInt
+    email: Optional[EmailStr] = None
+    tags: Optional[List[str]] = None
+    password: Optional[SecretStr] = None
+
+
+@pytest.fixture(autouse=True)
+def _attach_spark(spark):
+    # route the class-level validator cache through the shared session
+    User.validator(spark)
+    yield
+
+
+def test_model_valid_roundtrip(spark):
+    u = User(name="Ada", age=36, email="ada@example.com", tags=["math"])
+    assert u.name == "Ada" and u.age == 36
+    d = u.model_dump(exclude_none=True)
+    assert d == {
+        "name": "Ada",
+        "age": 36,
+        "email": "ada@example.com",
+        "tags": ["math"],
+    }
+    assert '"name": "Ada"' in u.model_dump_json(exclude_none=True)
+
+
+def test_model_invalid_raises_with_errors(spark):
+    with pytest.raises(ModelValidationError) as ei:
+        User(name="A", age=0)
+    cons = {(e.field, e.constraint) for e in ei.value.errors}
+    assert ("name", "min_length") in cons and ("age", "gt") in cons
+
+
+def test_model_type_error_accumulates(spark):
+    with pytest.raises(ModelValidationError) as ei:
+        User(name="Ada", age="old")
+    assert any(e.constraint == "type" for e in ei.value.errors)
+
+
+def test_model_secret_masked(spark):
+    class Login(Model):
+        password: SecretStr = Field(min_length=8)
+
+    Login.validator(spark)
+    with pytest.raises(ModelValidationError) as ei:
+        Login(password="short")
+    assert all("short" != e.value for e in ei.value.errors)
+    assert any(e.value == "**********" for e in ei.value.errors)
+
+
+def test_model_validate_json_and_batch(spark):
+    u = User.model_validate_json('{"name": "Bo", "age": 2}')
+    assert u.age == 2
+    bools = User.model_validate_batch(
+        [{"name": "Ok", "age": 1}, {"name": "x", "age": 1}, {"name": "Ok", "age": -1}]
+    )
+    assert bools == [True, False, False]
+
+
+def test_model_optional_and_annotations(spark):
+    class Doc(Model):
+        doc_id: int
+        meta: Optional[Dict[str, str]] = None
+        score: float = 0.5
+
+    Doc.validator(spark)
+    d = Doc(doc_id=1, meta={"a": "b"})
+    assert d.meta == {"a": "b"} and d.score == 0.5
+    spec = Doc.spec()
+    assert spec.field("meta").dtype == "map<string,string>"
+    assert not spec.field("meta").required
+    assert not spec.field("score").required  # has default
+
+
+def test_model_validate_df_is_the_scale_path(spark):
+    df = spark.createDataFrame(
+        [("Ada", 36), ("x", 0)], "name string, age long"
+    )
+    out = User.validate_df(df)
+    rows = {r["name"]: r for r in out.collect()}
+    assert rows["Ada"]["valid"] is True
+    bad = rows["x"]
+    assert bad["valid"] is False
+    got = {(v["field"], v["constraint_name"]) for v in bad["violations"]}
+    assert got == {("name", "min_length"), ("age", "gt")}
