@@ -422,6 +422,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_planes=4, dims=64)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query also probes the n_planes
+    buckets one sign-flip away — the recall knob on the single-probe
+    path; fully oracled (plane constants + flip set in SQL)."""
+    from satya_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4, dims=64, multiprobe=1)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, full probe: mini-k-means index (DataFrame-native
     training, iters=2) with nprobe=k, which provably equals brute
@@ -596,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash_pairs": q_dedup_simhash_pairs,
             "ann_topk": q_ann_topk,
             "ann_lsh_topk": q_ann_lsh_topk,
+            "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
             "ann_ivf_topk": q_ann_ivf_topk,
             "ann_ivf_pruned": q_ann_ivf_pruned,
             "dedup_embedding": q_dedup_embedding,
@@ -731,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_doc_oracles())
     out.update(_event_oracles())
     out["ann_lsh_topk"] = _lsh_oracle()
+    out["ann_lsh_multiprobe"] = _lsh_oracle(multiprobe=1)
     out["ann_ivf_topk"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
     out["ann_ivf_pruned"] = _ivf_pruned_oracle()
     out["dedup_embedding"] = _embdup_oracle()
@@ -850,11 +865,12 @@ def _media_oracle(n: int = 200, dim: int = 8) -> str:
     )
 
 
-def _lsh_oracle(n_planes: int = 4, dims: int = 64) -> str:
+def _lsh_oracle(n_planes: int = 4, dims: int = 64, multiprobe: int = 0) -> str:
     """The LSH sign-sketch is deterministic (md5-derived plane
     constants), so the whole approximate search IS SQL-expressible:
     embed the plane weights as literals and replicate bucket + cosine
-    + rank in DuckDB."""
+    + rank in DuckDB. multiprobe=1 additionally probes the n_planes
+    one-bit-flip buckets (flip set unnested in SQL)."""
     from satya_spark.functions.similarity import _plane_component
 
     def dot(p: int, alias: str) -> str:
@@ -876,11 +892,20 @@ def _lsh_oracle(n_planes: int = 4, dims: int = 64) -> str:
         " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
         " * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6)"
     )
+    if multiprobe == 1:
+        flips = "[" + ", ".join(str(2**p) for p in range(n_planes)) + ", 0]"
+        q_cte = (
+            "q AS (SELECT vec_id AS query_id, embedding, "
+            "CAST(xor(CAST(bucket AS BIGINT), CAST(f.flip AS BIGINT)) AS INT) AS bucket "
+            f"FROM c, (SELECT unnest({flips}) AS flip) f WHERE vec_id < 10), "
+        )
+    else:
+        q_cte = "q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id < 10), "
     return (
         f"WITH c AS (SELECT vec_id, embedding, {bucket('embeddings')} AS bucket"
         " FROM embeddings), "
-        "q AS (SELECT vec_id AS query_id, embedding, bucket FROM c WHERE vec_id < 10), "
-        f"s AS (SELECT q.query_id, c.vec_id, {cos} AS cos_sim "
+        + q_cte
+        + f"s AS (SELECT q.query_id, c.vec_id, {cos} AS cos_sim "
         "FROM c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id) "
         "SELECT query_id, CAST(row_number() OVER "
         "(PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank, "

@@ -177,16 +177,42 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within the bucket. With 2^p
-    buckets the scanned fraction is ~2^-p of the corpus."""
+    buckets the scanned fraction is ~2^-p of the corpus.
+
+    ``multiprobe=1`` additionally probes every bucket at hamming
+    distance 1 from the query's (one sign-bit flip) — the standard
+    multi-probe LSH recall knob: a near neighbor lost to a single
+    straddled hyperplane is recovered at (n_planes+1)× probe cost,
+    still a tiny fraction of the corpus. Only the QUERY side fans out;
+    the corpus keeps one bucket per vector."""
     c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        lsh_bucket(F.col(vec_col), n_planes, dims).alias("__bucket"),
+        lsh_bucket(F.col(vec_col), n_planes, dims).alias("__b0"),
     )
+    if multiprobe == 0:
+        q = q.select(query_id_col, "__qvec", F.col("__b0").alias("__bucket"))
+    elif multiprobe == 1:
+        # bucket column is projected BEFORE the explode (Generate can't
+        # split big expressions across codegen methods)
+        flips = F.array(F.lit(0), *[F.lit(2**p) for p in range(n_planes)])
+        q = q.select(
+            query_id_col,
+            "__qvec",
+            "__b0",
+            F.explode(flips).alias("__flip"),
+        ).select(
+            query_id_col,
+            "__qvec",
+            F.col("__b0").bitwiseXOR(F.col("__flip")).alias("__bucket"),
+        )
+    else:
+        raise ValueError("multiprobe supports 0 or 1 bit flips")
     j = c.join(F.broadcast(q), "__bucket").filter(
         F.col(query_id_col) != F.col(id_col)
     )

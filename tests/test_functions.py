@@ -344,6 +344,17 @@ def test_lsh_topk_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # deterministic given fixed planes
+    # multi-probe (1 bit flip) must dominate single-probe recall
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.lsh_topk(
+            corpus, queries, k=3, n_planes=2, dims=8, multiprobe=1
+        ).collect()
+    }
+    # guaranteed: multi's candidate set supersets single's, and a true
+    # top-k member can only be displaced by another true top-k member
+    recall_multi = len(exact & multi) / len(exact)
+    assert recall_multi >= recall
 
 
 def test_embedding_near_dup_pairs(spark):

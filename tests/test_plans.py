@@ -77,3 +77,52 @@ def test_bucketed_self_join_has_no_exchange(spark, staged):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed2")
+
+
+def test_jaccard_band_join_is_equi_join(spark):
+    """The length-filter banding must reach the join as EQUI keys
+    (lang, band) — a SortMergeJoin/ShuffledHashJoin with both keys,
+    never a BroadcastNestedLoop/cartesian with a post-filter (which is
+    what the round-1 OR'd band condition degraded to: an n² join
+    within each language)."""
+    from satya_spark.functions.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5 + i % 7)), "en") for i in range(50)],
+        ["doc_id", "text", "lang"],
+    )
+    out = jaccard_pairs(df, 0.6)
+    plan = _executed_plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "lang" in l]
+    assert join_lines and all("band" in l for l in join_lines)
+
+
+def test_simhash_pairs_join_is_equi_join(spark):
+    from satya_spark.functions.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(10)), "en") for i in range(30)],
+        ["doc_id", "text", "lang"],
+    )
+    out = simhash_pairs(df, max_hamming=3, bits=32, chunks=4)
+    plan = _executed_plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "ci" in l]
+    assert join_lines and all("cv" in l for l in join_lines)
+
+
+def test_embedding_near_dup_join_is_equi_join(spark):
+    import math
+
+    from satya_spark.functions.similarity import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(math.sin(i * 0.7 + d)) for d in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_near_dup_pairs(df, threshold=0.95, n_planes=3, dims=4, bands=2)
+    plan = _executed_plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "bucket" in l]
+    assert join_lines and all("band" in l for l in join_lines)

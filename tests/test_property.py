@@ -137,3 +137,111 @@ def test_int_kernels_match_python_oracle(spark, f, values):
     got = _spark_verdicts(spark, f, values, T.LongType())
     want = [sorted(py_validate_num(f, v)) for v in values]
     assert got == want, f"spec={f} values={values}"
+
+
+# --- per-item kernels (round 2: forall / array_min-max) ---------------------
+
+def py_validate_items(f: FieldSpec, arr):
+    """Pure-Python oracle for per-item + container rules on an array
+    field: scalar constraints apply to every non-null element
+    (src/lib.rs:874-918), container rules to the array itself."""
+    if arr is None:
+        return ["required"] if f.required else []
+    out = []
+    items = [v for v in arr if v is not None]
+    if f.pattern is not None and any(
+        not re.search(f.pattern, v) for v in items
+    ):
+        out.append("pattern")
+    if f.min_length is not None and any(
+        len(v.strip()) < f.min_length for v in items
+    ):
+        out.append("min_length")
+    if f.max_length is not None and any(len(v) > f.max_length for v in items):
+        out.append("max_length")
+    if f.enum is not None and any(v not in f.enum for v in items):
+        out.append("enum")
+    # numeric per-item bounds (min/max semantics skip nulls; empty ->
+    # no fire, like array_min/list_aggregate returning NULL)
+    if f.ge is not None and items and any(not (v >= f.ge) for v in items):
+        out.append("ge")
+    if f.le is not None and items and any(not (v <= f.le) for v in items):
+        out.append("le")
+    if f.min_items is not None and len(arr) < f.min_items:
+        out.append("min_items")
+    if f.max_items is not None and len(arr) > f.max_items:
+        out.append("max_items")
+    if f.unique_items and len(set(arr)) != len(arr):
+        out.append("unique_items")
+    return out
+
+
+str_arr_field = st.builds(
+    lambda pat, mn, mx, en, mni, mxi, uni: FieldSpec(
+        "a",
+        "array<string>",
+        pattern=pat,
+        min_length=mn,
+        max_length=mx,
+        enum=en,
+        min_items=mni,
+        max_items=mxi,
+        unique_items=uni,
+    ),
+    st.one_of(st.none(), st.sampled_from(PATTERNS)),
+    st.one_of(st.none(), st.integers(0, 4)),
+    st.one_of(st.none(), st.integers(2, 8)),
+    st.one_of(st.none(), st.sampled_from(ENUMS)),
+    st.one_of(st.none(), st.integers(0, 3)),
+    st.one_of(st.none(), st.integers(1, 6)),
+    st.booleans(),
+)
+
+str_arrays = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.sampled_from(["red", "green", "aXz", "ab", " b ", "42", ""]),
+                st.text(alphabet="abz01 ", max_size=6),
+            ),
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+int_arr_field = st.builds(
+    lambda ge, le: FieldSpec("a", "array<long>", ge=ge, le=le),
+    st.one_of(st.none(), st.integers(-3, 3)),
+    st.one_of(st.none(), st.integers(0, 50)),
+)
+
+int_arrays = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.one_of(st.none(), st.integers(-10, 60)), max_size=6),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(f=str_arr_field, values=str_arrays)
+def test_string_item_kernels_match_python_oracle(spark, f, values):
+    got = _spark_verdicts(
+        spark, f, values, T.ArrayType(T.StringType(), True)
+    )
+    want = [sorted(py_validate_items(f, v)) for v in values]
+    assert got == want, f"spec={f} values={values}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(f=int_arr_field, values=int_arrays)
+def test_int_item_kernels_match_python_oracle(spark, f, values):
+    got = _spark_verdicts(spark, f, values, T.ArrayType(T.LongType(), True))
+    want = [sorted(py_validate_items(f, v)) for v in values]
+    assert got == want, f"spec={f} values={values}"
