@@ -123,12 +123,12 @@ def _best(fn, n=2) -> float:
     return best
 
 
-def worker(cpus: int, path: str, reps_kern: int = 2, reps_pipe: int = 2) -> None:
+def worker(cpus: int, path: str, reps_pipe: int = 2) -> None:
     spark = _session(cpus)
     df = spark.read.parquet(path)
     run_pipeline(spark, df.limit(50000))  # warm-up: JIT + codegen, untimed
     n = run_kernels(spark, df)
-    kern = _best(lambda: run_kernels(spark, df), n=reps_kern)
+    kern = _best(lambda: run_kernels(spark, df))
     # repeats are asymmetric (HI gets one more): the box is shared-
     # noisy; a depressed HI run understates the efficiency ratio
     # (round-1 artifact recorded pipeline 0.723 with best-of-2 vs 0.91

@@ -35,13 +35,16 @@ def _build_spec(args):
 
 
 def _input_fingerprint(path: str) -> str:
-    """Cheap content identity for resume scoping: digest of the
-    sorted (name, size, mtime) listing (single file or directory).
-    On Iceberg this would be the snapshot id."""
+    """Cheap content identity for resume scoping. Local paths digest
+    the sorted (name, size, mtime) listing; non-local URIs (s3a://,
+    hdfs://, globs) have no cheap local stat, so the URI string itself
+    is the identity — different remote datasets never share a
+    fingerprint (same URI with mutated content is indistinguishable
+    here; on Iceberg the snapshot id plays this role)."""
     import hashlib
     import os
 
-    entries = []
+    entries = [f"uri:{path.rstrip('/')}"]
     if os.path.isdir(path):
         for root, _, files in os.walk(path):
             for f in sorted(files):

@@ -37,18 +37,9 @@ _TYPE_MAP = {
 }
 
 # special-type presets (src/satya/special_types.py:139-238): usable as
-# the field_type in add_field, e.g. add_field("age", "PositiveInt")
-_PRESETS = {
-    "emailstr": ("string", {"email": True}),
-    "httpurl": ("string", {"url": True}),
-    "positiveint": ("long", {"gt": 0}),
-    "negativeint": ("long", {"lt": 0}),
-    "nonnegativeint": ("long", {"ge": 0}),
-    "positivefloat": ("double", {"gt": 0.0}),
-    "negativefloat": ("double", {"lt": 0.0}),
-    "nonnegativefloat": ("double", {"ge": 0.0}),
-    "secretstr": ("string", {"secret": True}),
-}
+# the field_type in add_field, e.g. add_field("age", "PositiveInt").
+# Single source of truth: special_types.PRESETS.
+from .special_types import PRESETS as _PRESETS  # noqa: E402
 
 _CONSTRAINT_KEYS = (
     "min_length", "max_length", "pattern", "email", "url", "enum",
@@ -289,7 +280,9 @@ class StreamValidator:
                         ValidationError(
                             n,
                             f"Expected {want}, got {type(item.get(n)).__name__}",
-                            value=item.get(n),
+                            # secret fields never surface their value,
+                            # in the type-error path either
+                            value="**********" if kw.get("secret") else item.get(n),
                             constraint="type",
                         )
                     )

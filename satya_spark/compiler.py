@@ -286,12 +286,32 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
                     f"list_aggregate({vals_sql}, '{agg}') {op_sql} {_fmt_num(v)}",
                 )
         if f.multiple_of is not None:
-            mi = int(f.multiple_of)
-            add_item(
-                "multiple_of",
-                lambda x, mi=mi: (x % mi) == 0,
-                f"(x % {mi}) = 0",
-            )
+            m = f.multiple_of
+            if elem_type in ("double", "float") or float(m) != int(m):
+                # ε-tolerant float modulo per item — same semantics as
+                # the scalar path (truncating the step would validate
+                # the wrong constraint for fractional steps)
+                def _imof(x, m=m):
+                    F = FN()
+                    r = F.abs(x % F.lit(m))
+                    return (r < MULTIPLE_OF_EPS) | (
+                        F.abs(r - F.lit(m)) < MULTIPLE_OF_EPS
+                    )
+
+                add_item(
+                    "multiple_of",
+                    _imof,
+                    f"(abs(fmod(x, {_fmt_num(m)})) < {MULTIPLE_OF_EPS!r}"
+                    f" OR abs(abs(fmod(x, {_fmt_num(m)})) - {_fmt_num(m)})"
+                    f" < {MULTIPLE_OF_EPS!r})",
+                )
+            else:
+                mi = int(m)
+                add_item(
+                    "multiple_of",
+                    lambda x, mi=mi: (x % mi) == 0,
+                    f"(x % {mi}) = 0",
+                )
 
     # --- string kernels ---------------------------------------------
     if f.min_length is not None and not (is_array or is_map):

@@ -227,6 +227,10 @@ class ValidationEngine:
         verdicts = self.shard_verdicts(annotated).collect()
         wall_ms = int((time.monotonic() - t0) * 1000)
         now_ms = int(time.time() * 1000)
+        # run-scope profile: computed once over ALL pending shards and
+        # stored on ONE manifest row (the stats are whole-run, not
+        # per-shard — duplicating the blob n_shards times would both
+        # bloat the manifest and misread as per-shard numbers)
         profile_json = None
         if profile and verdicts:
             import json as _json
@@ -244,9 +248,9 @@ class ValidationEngine:
                     "wall_ms": wall_ms,
                     "input_fingerprint": fingerprint,
                     "completed_at_ms": now_ms,
-                    "profile": profile_json,
+                    "profile": profile_json if i == 0 else None,
                 }
-                for r in verdicts
+                for i, r in enumerate(verdicts)
             ]
         )
         return manifest.read().filter(F.col("run_id") == run_id)

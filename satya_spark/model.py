@@ -69,16 +69,15 @@ class NonNegativeFloat(float):
     """Annotation marker: float >= 0 (special_types.py:229-238)."""
 
 
+# marker class -> special_types.PRESETS key (single source of truth)
+from .special_types import PRESETS as _PRESET_TABLE  # noqa: E402
+
 _MARKERS: Dict[type, tuple] = {
-    EmailStr: ("string", {"email": True}),
-    HttpUrl: ("string", {"url": True}),
-    SecretStr: ("string", {"secret": True}),
-    PositiveInt: ("long", {"gt": 0}),
-    NegativeInt: ("long", {"lt": 0}),
-    NonNegativeInt: ("long", {"ge": 0}),
-    PositiveFloat: ("double", {"gt": 0.0}),
-    NegativeFloat: ("double", {"lt": 0.0}),
-    NonNegativeFloat: ("double", {"ge": 0.0}),
+    cls: _PRESET_TABLE[cls.__name__.lower()]
+    for cls in (
+        EmailStr, HttpUrl, SecretStr, PositiveInt, NegativeInt,
+        NonNegativeInt, PositiveFloat, NegativeFloat, NonNegativeFloat,
+    )
 }
 
 _SCALARS: Dict[type, str] = {
@@ -124,8 +123,11 @@ class Field:
 
 def _resolve(annotation: Any) -> tuple:
     """annotation → (dtype, extra_kwargs, required_default)."""
+    import types as _types
+
     origin = get_origin(annotation)
-    if origin is Union:  # Optional[T]
+    # typing.Optional[T] and PEP 604 `T | None` both mean optional
+    if origin is Union or isinstance(annotation, _types.UnionType):
         args = [a for a in get_args(annotation) if a is not type(None)]
         dtype, extra, _ = _resolve(args[0])
         return dtype, extra, False

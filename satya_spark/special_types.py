@@ -21,57 +21,74 @@ from .spec import FieldSpec
 # absolute-or-relative POSIX-ish path shape (no NUL, no newline)
 PATH_PATTERN = r"^[^\x00\n]+$"
 
+# The ONE canonical preset table — compat.StreamValidator.add_field
+# and model's annotation markers derive from it, so a preset tweak
+# lands everywhere at once.
+PRESETS: dict = {
+    "emailstr": ("string", {"email": True}),
+    "httpurl": ("string", {"url": True}),
+    "positiveint": ("long", {"gt": 0}),
+    "negativeint": ("long", {"lt": 0}),
+    "nonnegativeint": ("long", {"ge": 0}),
+    "positivefloat": ("double", {"gt": 0.0}),
+    "negativefloat": ("double", {"lt": 0.0}),
+    "nonnegativefloat": ("double", {"ge": 0.0}),
+    "secretstr": ("string", {"secret": True}),
+    "pathstr": ("string", {"pattern": PATH_PATTERN, "min_length": 1}),
+}
 
-def _mk(name: str, dtype: str, preset: dict, **kw: Any) -> FieldSpec:
+
+def _mk(name: str, preset_key: str, **kw: Any) -> FieldSpec:
+    dtype, preset = PRESETS[preset_key]
     merged = {**preset, **kw}
     return FieldSpec(name, dtype, **merged)
 
 
 def EmailStr(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:139-153 — validated email string."""
-    return _mk(name, "string", {"email": True}, **kw)
+    return _mk(name, "emailstr", **kw)
 
 
 def HttpUrl(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:155-170 — http(s) URL string."""
-    return _mk(name, "string", {"url": True}, **kw)
+    return _mk(name, "httpurl", **kw)
 
 
 def PositiveInt(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:172-181 — int > 0."""
-    return _mk(name, "long", {"gt": 0}, **kw)
+    return _mk(name, "positiveint", **kw)
 
 
 def NegativeInt(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:183-192 — int < 0."""
-    return _mk(name, "long", {"lt": 0}, **kw)
+    return _mk(name, "negativeint", **kw)
 
 
 def NonNegativeInt(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:194-203 — int >= 0."""
-    return _mk(name, "long", {"ge": 0}, **kw)
+    return _mk(name, "nonnegativeint", **kw)
 
 
 def PositiveFloat(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:205-215 — float > 0."""
-    return _mk(name, "double", {"gt": 0.0}, **kw)
+    return _mk(name, "positivefloat", **kw)
 
 
 def NegativeFloat(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:217-227 — float < 0."""
-    return _mk(name, "double", {"lt": 0.0}, **kw)
+    return _mk(name, "negativefloat", **kw)
 
 
 def NonNegativeFloat(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:229-238 — float >= 0."""
-    return _mk(name, "double", {"ge": 0.0}, **kw)
+    return _mk(name, "nonnegativefloat", **kw)
 
 
 def SecretStr(name: str, **kw: Any) -> FieldSpec:
     """src/satya/special_types.py:17-31 — string whose value is
     masked ('**********') wherever the engine would surface it
     (violation rows, compat errors)."""
-    return _mk(name, "string", {"secret": True}, **kw)
+    return _mk(name, "secretstr", **kw)
 
 
 def PathStr(name: str, **kw: Any) -> FieldSpec:
@@ -79,7 +96,7 @@ def PathStr(name: str, **kw: Any) -> FieldSpec:
     (src/satya/special_types.py:49-137): non-empty, no NUL/newline.
     Filesystem existence is not a columnar property — see module
     docstring."""
-    return _mk(name, "string", {"pattern": PATH_PATTERN, "min_length": 1}, **kw)
+    return _mk(name, "pathstr", **kw)
 
 
 __all__ = [

@@ -78,3 +78,11 @@ def test_cli_resume_via_manifest(spark, tmp_path):
               "--manifest", man, "--shards", "8")
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["rows"] == 0 and r2.returncode == 0
+
+
+def test_input_fingerprint_distinguishes_remote_uris():
+    from satya_spark.__main__ import _input_fingerprint
+
+    a = _input_fingerprint("s3a://bucket/datasetA")
+    b = _input_fingerprint("s3a://bucket/datasetB")
+    assert a != b  # review r2: URIs used to collapse to one constant

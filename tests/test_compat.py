@@ -108,3 +108,13 @@ def test_datetime_string_coerces(spark):
     assert v.validate({"ts": "2024-01-01T10:00:00Z"}).is_valid
     bad = v.validate({"ts": "not a date"})
     assert not bad.is_valid and bad.errors[0].constraint == "type"
+
+
+def test_secret_masked_in_type_errors(spark):
+    v = StreamValidator(spark)
+    v.add_field("token", "SecretStr")
+    res = v.validate({"token": 12345})
+    assert not res.is_valid
+    err = res.errors[0]
+    assert err.constraint == "type" and err.value == "**********"
+    assert "12345" not in str(err)

@@ -154,8 +154,10 @@ def test_manifest_carries_kernel_profile(spark, tmp_path):
         df, str(tmp_path / "m"), run_id="p1", fingerprint="in", profile=True
     )
     rows = out.collect()
-    assert rows and all(r["profile"] for r in rows)
-    prof = json.loads(rows[0]["profile"])
+    # run-scope stats live on exactly ONE row (not duplicated per shard)
+    carrying = [r for r in rows if r["profile"]]
+    assert len(carrying) == 1
+    prof = json.loads(carrying[0]["profile"])
     by_field = {p["field_name"]: p for p in prof}
     assert set(by_field) == {f.name for f in transcript_spec().fields}
     for p in prof:

@@ -106,3 +106,14 @@ def test_model_validate_df_is_the_scale_path(spark):
     assert bad["valid"] is False
     got = {(v["field"], v["constraint_name"]) for v in bad["violations"]}
     assert got == {("name", "min_length"), ("age", "gt")}
+
+
+def test_model_pep604_optional(spark):
+    class Note(Model):
+        body: str
+        tag: str | None = None
+
+    Note.validator(spark)
+    n = Note(body="hi")
+    assert n.tag is None
+    assert not Note.spec().field("tag").required

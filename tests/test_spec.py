@@ -260,3 +260,16 @@ def test_after_transform_applies_on_dump(spark):
     df = spark.createDataFrame([("alice smith", 1)], "name string, n long")
     out = dump(df, spec).collect()
     assert out[0]["name"] == "Alice Smith" and out[0]["n"] == 1
+
+
+def test_per_item_fractional_multiple_of(spark):
+    # review r2: int(multiple_of) silently truncated fractional steps
+    spec = TableSpec(
+        name="mof",
+        fields=(FieldSpec("xs", "array<double>", multiple_of=2.5),),
+    )
+    df = spark.createDataFrame(
+        [(1, [5.0, 2.5]), (2, [4.0])], "id long, xs array<double>"
+    )
+    rows = compile_spec(spec).violations_df(df, ["id"]).collect()
+    assert {r["id"] for r in rows} == {2}  # 5.0 IS a multiple of 2.5
