@@ -561,31 +561,48 @@ class CompiledSpec:
         )
 
 
-def compile_row_rule(rule) -> CompiledRule:
+def compile_row_rule(rule, context: dict | None = None) -> CompiledRule:
     """Cross-field custom rule (@model_validator analog,
     src/satya/validators.py:110-140) → a CompiledRule on the pseudo
     field '<row>' so violation rows carry (field='<row>',
-    constraint=<rule name>)."""
+    constraint=<rule name>).
+
+    ``context`` is the ValidationInfo.context analog
+    (src/satya/validators.py:23-37): run-scoped constants a validator
+    can parameterize on. A ``fail_fn`` that declares a parameter
+    receives the dict at compile time (it's fixed per run — fold it
+    into the expression, don't evaluate per row); zero-arg rules are
+    untouched. ``fail_sql`` may be a callable(context) -> str for the
+    oracle twin."""
+    import inspect
 
     def _off():
         from pyspark.sql import functions as F
 
         return F.lit(None).cast("string")
 
+    fail_fn = rule.fail_fn
+    if inspect.signature(fail_fn).parameters:
+        ctx = dict(context or {})
+        fail_fn = lambda fn=rule.fail_fn, ctx=ctx: fn(ctx)  # noqa: E731
+    fail_sql = rule.fail_sql
+    if callable(fail_sql):
+        fail_sql = fail_sql(dict(context or {}))
+
     return CompiledRule(
         field="<row>",
         constraint=rule.name,
-        fail_fn=rule.fail_fn,
-        fail_sql=rule.fail_sql or "FALSE /* non-SQL custom rule */",
+        fail_fn=fail_fn,
+        fail_sql=fail_sql or "FALSE /* non-SQL custom rule */",
         offending_fn=_off,
         offending_sql="CAST(NULL AS VARCHAR)",
     )
 
 
-def compile_spec(spec: TableSpec) -> CompiledSpec:
+def compile_spec(spec: TableSpec, context: dict | None = None) -> CompiledSpec:
     rules: List[CompiledRule] = []
     for f in spec.fields:
         rules.extend(compile_field(f))
     for rr in spec.row_rules:
-        rules.append(compile_row_rule(rr))
+        rules.append(compile_row_rule(rr, context))
     return CompiledSpec(spec=spec, rules=rules)

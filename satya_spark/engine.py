@@ -56,9 +56,15 @@ class ValidationRun:
 
 
 class ValidationEngine:
-    def __init__(self, spec: TableSpec, n_shards: int = 64):
+    def __init__(
+        self, spec: TableSpec, n_shards: int = 64, context: Optional[dict] = None
+    ):
+        # ``context``: run-scoped constants for custom row rules — the
+        # ValidationInfo.context analog (folded into the compiled
+        # expressions, see compiler.compile_row_rule)
         self.spec = spec
-        self.compiled: CompiledSpec = compile_spec(spec)
+        self.context = dict(context or {})
+        self.compiled: CompiledSpec = compile_spec(spec, self.context)
         self.n_shards = n_shards
         # lineage/shard key: first unique-key column, else first field
         self.shard_key = (

@@ -273,3 +273,36 @@ def test_per_item_fractional_multiple_of(spark):
     )
     rows = compile_spec(spec).violations_df(df, ["id"]).collect()
     assert {r["id"] for r in rows} == {2}  # 5.0 IS a multiple of 2.5
+
+
+def test_row_rule_validation_context(spark):
+    """ValidationInfo.context analog (src/satya/validators.py:23-37):
+    a custom rule parameterized by run-scoped context, folded into the
+    compiled expression (fixed per run, zero per-row cost)."""
+    from satya_spark.spec import RowRule
+
+    def too_long(ctx):
+        return F.length("text") > ctx["max_len"]
+
+    spec = TableSpec(
+        name="ctx",
+        fields=(FieldSpec("text", "string"),),
+        row_rules=(
+            RowRule(
+                "text_budget",
+                too_long,
+                lambda ctx: f"(length(text) > {ctx['max_len']})",
+            ),
+        ),
+    )
+    df = spark.createDataFrame([("short",), ("much longer text",)], "text string")
+    strict = compile_spec(spec, {"max_len": 6}).violations_df(df, ["text"])
+    lax = compile_spec(spec, {"max_len": 100}).violations_df(df, ["text"])
+    assert strict.count() == 1 and lax.count() == 0
+    # zero-arg rules keep working unchanged
+    spec2 = TableSpec(
+        name="ctx2",
+        fields=(FieldSpec("text", "string"),),
+        row_rules=(RowRule("nonempty", lambda: F.length("text") == 0),),
+    )
+    assert compile_spec(spec2).violations_df(df, ["text"]).count() == 0
