@@ -36,7 +36,8 @@ def _build_spec(args):
 
 def _input_fingerprint(path: str) -> str:
     """Cheap content identity for resume scoping. Local paths digest
-    the sorted (name, size, mtime) listing; non-local URIs (s3a://,
+    the sorted (name, size, mtime) listing ONLY — equivalent spellings
+    (./data vs /abs/data) resume each other. Non-local URIs (s3a://,
     hdfs://, globs) have no cheap local stat, so the URI string itself
     is the identity — different remote datasets never share a
     fingerprint (same URI with mutated content is indistinguishable
@@ -44,7 +45,7 @@ def _input_fingerprint(path: str) -> str:
     import hashlib
     import os
 
-    entries = [f"uri:{path.rstrip('/')}"]
+    entries = []
     if os.path.isdir(path):
         for root, _, files in os.walk(path):
             for f in sorted(files):
@@ -54,6 +55,8 @@ def _input_fingerprint(path: str) -> str:
     elif os.path.exists(path):
         st = os.stat(path)
         entries.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+    else:
+        entries.append(f"uri:{path.rstrip('/')}")
     return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
 
 

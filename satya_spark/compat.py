@@ -19,7 +19,7 @@ from __future__ import annotations
 from typing import Any, Dict, Iterable, Iterator, List, Optional
 
 from .compiler import compile_spec
-from .spec import FieldSpec, TableSpec
+from .spec import SECRET_MASK, FieldSpec, TableSpec
 
 _TYPE_MAP = {
     "str": "string",
@@ -282,7 +282,7 @@ class StreamValidator:
                             f"Expected {want}, got {type(item.get(n)).__name__}",
                             # secret fields never surface their value,
                             # in the type-error path either
-                            value="**********" if kw.get("secret") else item.get(n),
+                            value=SECRET_MASK if kw.get("secret") else item.get(n),
                             constraint="type",
                         )
                     )

@@ -98,7 +98,9 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
         if f.secret:
             # SecretStr: the offending value never leaves the engine
             # (src/satya/special_types.py SecretStr repr masking)
-            return lambda: F.lit("**********"), "'**********'"
+            from .spec import SECRET_MASK
+
+            return lambda: F.lit(SECRET_MASK), f"'{SECRET_MASK}'"
         if is_array or is_map:
             # portable list rendering: 'a,b,c' in both engines (map →
             # its values, insertion-ordered in both). Non-string
@@ -394,7 +396,10 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
             add(cname, _cmp, f"{name} {op_sql} {_fmt_num(v)}")
     if f.multiple_of is not None and not (is_array or is_map):
         m = f.multiple_of
-        if is_float:
+        # fractional steps need the ε-tolerant float modulo even on
+        # integer columns — int(m) would validate the wrong constraint
+        # (n % 2 for multiple_of=2.5)
+        if is_float or float(m) != int(m):
             # ε-tolerant float modulo (src/satya/scalar_validators.py:164-169)
             def _mof(m=m):
                 F = FN()
@@ -582,7 +587,15 @@ def compile_row_rule(rule, context: dict | None = None) -> CompiledRule:
         return F.lit(None).cast("string")
 
     fail_fn = rule.fail_fn
-    if inspect.signature(fail_fn).parameters:
+    # context-taking = exactly a REQUIRED positional parameter; the
+    # compiler's own default-arg-binding idiom (lambda n=n: ...) and
+    # **kwargs shapes must stay zero-arg callables
+    takes_ctx = any(
+        p.default is p.empty
+        and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        for p in inspect.signature(fail_fn).parameters.values()
+    )
+    if takes_ctx:
         ctx = dict(context or {})
         fail_fn = lambda fn=rule.fail_fn, ctx=ctx: fn(ctx)  # noqa: E731
     fail_sql = rule.fail_sql

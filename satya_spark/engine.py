@@ -224,7 +224,18 @@ class ValidationEngine:
         spark = df.sparkSession
         manifest = Manifest(spark, manifest_path)
         run_id = run_id or new_run_id()
-        fingerprint = f"{fingerprint}|spec:{self.compiled.spec_hash()}"
+        # context participates too: a non-SQL row rule's behavior can
+        # depend solely on context, which spec_hash (built from the
+        # SQL twins) cannot see
+        ctx_part = ""
+        if self.context:
+            import hashlib
+            import json as _json
+
+            ctx_part = "|ctx:" + hashlib.md5(
+                _json.dumps(self.context, sort_keys=True, default=repr).encode()
+            ).hexdigest()[:12]
+        fingerprint = f"{fingerprint}|spec:{self.compiled.spec_hash()}{ctx_part}"
 
         with_shard = df.withColumn("shard", shard_col(self.n_shards, self.shard_key))
         todo = pending_shards(with_shard, manifest, fingerprint).drop("shard")

@@ -126,9 +126,17 @@ def _resolve(annotation: Any) -> tuple:
     import types as _types
 
     origin = get_origin(annotation)
-    # typing.Optional[T] and PEP 604 `T | None` both mean optional
+    # typing.Optional[T] and PEP 604 `T | None` both mean optional;
+    # any OTHER union (int | str) has no column type and must fail
+    # loudly, not silently validate as Optional[first-arm]
     if origin is Union or isinstance(annotation, _types.UnionType):
-        args = [a for a in get_args(annotation) if a is not type(None)]
+        all_args = get_args(annotation)
+        args = [a for a in all_args if a is not type(None)]
+        if type(None) not in all_args or len(args) != 1:
+            raise TypeError(
+                f"unsupported Model annotation: {annotation!r} "
+                "(only Optional[T] / T | None unions are columnar)"
+            )
         dtype, extra, _ = _resolve(args[0])
         return dtype, extra, False
     if origin in (list, List):

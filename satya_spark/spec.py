@@ -41,7 +41,7 @@ Semantics preserved from the reference (authoritative paths):
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 # Simplified RFC email regex, verbatim from src/lib.rs:947-951 /
 # src/blaze_validator.rs:11-13.
@@ -53,6 +53,10 @@ URL_PATTERN = r"^https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?$"
 
 # multiple_of float tolerance (src/satya/scalar_validators.py:164-169).
 MULTIPLE_OF_EPS = 1e-10
+
+# SecretStr mask (src/satya/special_types.py SecretStr repr) — the one
+# literal shared by violation rows, oracle SQL, and compat errors.
+SECRET_MASK = "**********"
 
 
 @dataclass(frozen=True)
@@ -144,14 +148,18 @@ class RowRule:
     analog (``src/satya/validators.py:110-140``): a custom boolean
     expression over multiple columns. ``fail_fn`` builds a Column
     that is TRUE on violating rows (lazy: no session needed to
-    declare); ``fail_sql`` is the optional DuckDB twin for the
-    differential oracle. Field-scoped custom checks (the
-    ``@field_validator`` analog, ``src/satya/validators.py:66-107``)
-    are the same thing with a single-column predicate."""
+    declare); it may declare one required positional parameter to
+    receive the run-scoped ``context`` dict (ValidationInfo.context
+    analog). ``fail_sql`` is the optional DuckDB twin for the
+    differential oracle — a plain string, or ``callable(context) ->
+    str`` for context-parameterized rules. Field-scoped custom checks
+    (the ``@field_validator`` analog,
+    ``src/satya/validators.py:66-107``) are the same thing with a
+    single-column predicate."""
 
     name: str
-    fail_fn: Callable[[], Any]  # () -> Column
-    fail_sql: Optional[str] = None
+    fail_fn: Callable[..., Any]  # () -> Column, or (context) -> Column
+    fail_sql: Union[str, Callable[[dict], str], None] = None
 
 
 @dataclass(frozen=True)

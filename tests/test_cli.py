@@ -86,3 +86,23 @@ def test_input_fingerprint_distinguishes_remote_uris():
     a = _input_fingerprint("s3a://bucket/datasetA")
     b = _input_fingerprint("s3a://bucket/datasetB")
     assert a != b  # review r2: URIs used to collapse to one constant
+
+
+def test_input_fingerprint_path_spelling_invariant(tmp_path):
+    # review r2: ./data vs /abs/data must resume each other (content
+    # identity, not path identity)
+    import os
+
+    from satya_spark.__main__ import _input_fingerprint
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "part.parquet").write_bytes(b"x" * 10)
+    absolute = _input_fingerprint(str(d))
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        relative = _input_fingerprint("data")
+    finally:
+        os.chdir(cwd)
+    assert absolute == relative

@@ -165,3 +165,34 @@ def test_manifest_carries_kernel_profile(spark, tmp_path):
         assert p["n_kernels"] >= 1
     # planted '' texts -> text field must show errors
     assert by_field["text"]["errors"] > 0
+
+
+def test_resume_scoped_to_row_rule_context(spark, tmp_path):
+    """review r2: context-only rule changes (no SQL twin) must not
+    resume over verdicts computed under a different context."""
+    from pyspark.sql import functions as F
+
+    from satya_spark.spec import FieldSpec, RowRule, TableSpec
+
+    spec = TableSpec(
+        name="ctxm",
+        fields=(FieldSpec("conv_id", "string", required=True),),
+        unique_key=("conv_id",),
+        row_rules=(
+            RowRule("len_budget", lambda ctx: F.length("conv_id") > ctx["max_len"]),
+        ),
+    )
+    df = synthesize(spark, n_conv=40).select("conv_id")
+    m = str(tmp_path / "m")
+    first = ValidationEngine(spec, n_shards=4, context={"max_len": 2}).run_resumable(
+        df, m, run_id="c1", fingerprint="in"
+    )
+    assert first.count() == 4
+    # same context -> resumes; different context -> re-validates
+    same = ValidationEngine(spec, n_shards=4, context={"max_len": 2}).run_resumable(
+        df, m, run_id="c2", fingerprint="in"
+    )
+    other = ValidationEngine(spec, n_shards=4, context={"max_len": 99}).run_resumable(
+        df, m, run_id="c3", fingerprint="in"
+    )
+    assert same.count() == 0 and other.count() == 4

@@ -117,3 +117,9 @@ def test_model_pep604_optional(spark):
     n = Note(body="hi")
     assert n.tag is None
     assert not Note.spec().field("tag").required
+
+
+def test_model_rejects_non_optional_unions(spark):
+    with pytest.raises(TypeError, match="unsupported Model annotation"):
+        class Bad(Model):
+            v: int | str

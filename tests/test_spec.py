@@ -306,3 +306,28 @@ def test_row_rule_validation_context(spark):
         row_rules=(RowRule("nonempty", lambda: F.length("text") == 0),),
     )
     assert compile_spec(spec2).violations_df(df, ["text"]).count() == 0
+
+
+def test_row_rule_default_arg_lambda_is_not_context_taking(spark):
+    # the compiler's own default-binding idiom must stay a zero-arg
+    # callable (review r2: any-parameter check misfired on it)
+    from satya_spark.spec import RowRule
+
+    spec = TableSpec(
+        name="defarg",
+        fields=(FieldSpec("x", "int"),),
+        row_rules=(RowRule("gt_eps", lambda eps=3: F.col("x") > eps),),
+    )
+    df = spark.createDataFrame([(1,), (9,)], "x int")
+    out = compile_spec(spec, {"ignored": True}).violations_df(df, ["x"])
+    assert {r["x"] for r in out.collect()} == {9}
+
+
+def test_scalar_fractional_multiple_of_on_int_column(spark):
+    # review r2: int(m) truncated fractional steps on integer dtypes
+    spec = TableSpec(
+        name="smof", fields=(FieldSpec("n", "long", multiple_of=2.5),)
+    )
+    df = spark.createDataFrame([(5,), (4,), (10,)], "n long")
+    rows = compile_spec(spec).violations_df(df, ["n"]).collect()
+    assert {r["n"] for r in rows} == {4}  # 5 and 10 ARE multiples of 2.5
