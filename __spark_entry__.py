@@ -313,28 +313,35 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analytics: ws/BPE token counts, punctuation ratio,
-    quality score (satya_spark/functions/text.py)."""
+    quality score (satya_spark/functions/text.py). The English
+    stopword hit count is hoisted into its own projection
+    (with_stopword_hits) so the padded-stopword regexp subtree is
+    computed once per row STRUCTURALLY — not via CSE luck."""
     from satya_spark.docfix import docs_from_testdata
     from satya_spark.functions import text as tx
 
-    d = docs_from_testdata(spark, sf_dir)
+    d = tx.with_stopword_hits(docs_from_testdata(spark, sf_dir))
     c = F.col("text")
     return d.select(
         "doc_id",
         tx.token_count_ws(c).alias("n_tok_ws"),
         tx.token_count_bpe(c).alias("n_tok_bpe"),
         tx.punct_ratio(c).alias("punct_ratio"),
-        tx.quality_score(c).alias("quality"),
+        tx.quality_score_from_hits(c, F.col("hits_en")).alias("quality"),
     )
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID vs the labeled lang column."""
+    """Stopword-heuristic language ID vs the labeled lang column.
+    All four languages' hit counts come from one hoisted projection;
+    lang_id consumes attribute references only."""
     from satya_spark.docfix import docs_from_testdata
     from satya_spark.functions import text as tx
 
-    d = docs_from_testdata(spark, sf_dir)
-    pred = tx.lang_id(F.col("text"))
+    d = tx.with_stopword_hits(docs_from_testdata(spark, sf_dir))
+    pred = tx.lang_id_from_hits(
+        F.col("text"), {l: F.col(f"hits_{l}") for l in tx.LANGS}
+    )
     return d.select(
         "doc_id",
         "lang",
@@ -470,14 +477,50 @@ def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-band sign-sketch LSH
     (4 bands × 6 planes) over embeddings + planted exact-dup vectors;
-    full oracle (plane constants embedded as SQL literals)."""
+    full oracle (plane constants embedded as SQL literals).
+
+    GATES THE ARROW SKETCH PATH (numpy matmul per Arrow batch,
+    sketch_buckets_np) — the declared 100 TB configuration for wide
+    vectors; the oracle is unchanged because sign parity with the
+    expression sketch holds except within float-noise of a zero dot
+    product. The expression impl stays gated via
+    ``dedup_embedding_expr``."""
     from satya_spark.docfix import emb_from_testdata
     from satya_spark.functions.similarity import embedding_near_dup_pairs
 
     emb = emb_from_testdata(spark, sf_dir)
     return embedding_near_dup_pairs(
-        emb, threshold=0.9, n_planes=6, dims=64, bands=4
+        emb, threshold=0.9, n_planes=6, dims=64, bands=4, impl="arrow"
     )
+
+
+def q_dedup_embedding_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline, pure-Catalyst sketch (bit-exact oracle twin)."""
+    from satya_spark.docfix import emb_from_testdata
+    from satya_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = emb_from_testdata(spark, sf_dir)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=6, dims=64, bands=4, impl="expr"
+    )
+
+
+def q_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on the ARROW path (numpy mapInPandas centroid
+    assignment + probe selection — the production-dims config past the
+    ~500-term Janino codegen cliff), full probe: with nprobe=k every
+    list is probed, so the result provably equals brute force
+    regardless of assignment FP noise — the brute-force SQL IS its
+    oracle. Pruned-probe arrow≡expr parity is pinned in
+    tests/test_functions.py."""
+    from satya_spark.functions.similarity import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=2, impl="arrow")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, cents, k=5, nprobe=8, impl="arrow")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,7 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
             "ann_ivf_topk": q_ann_ivf_topk,
             "ann_ivf_pruned": q_ann_ivf_pruned,
+            "ann_ivf_arrow": q_ann_ivf_arrow,
             "dedup_embedding": q_dedup_embedding,
+            "dedup_embedding_expr": q_dedup_embedding_expr,
             "media_features": q_media_features,
             "events_validate": q_events_validate,
             "events_referential": q_events_referential,
@@ -748,7 +793,9 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_multiprobe"] = _lsh_oracle(multiprobe=1)
     out["ann_ivf_topk"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
     out["ann_ivf_pruned"] = _ivf_pruned_oracle()
+    out["ann_ivf_arrow"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
     out["dedup_embedding"] = _embdup_oracle()
+    out["dedup_embedding_expr"] = _embdup_oracle()
     out["media_features"] = _media_oracle()
     return out
 

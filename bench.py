@@ -123,16 +123,15 @@ def _best(fn, n=2) -> float:
     return best
 
 
-def worker(cpus: int, path: str, reps_pipe: int = 2) -> None:
+def worker(cpus: int, path: str, reps_pipe: int = 3) -> None:
     spark = _session(cpus)
     df = spark.read.parquet(path)
     run_pipeline(spark, df.limit(50000))  # warm-up: JIT + codegen, untimed
     n = run_kernels(spark, df)
-    kern = _best(lambda: run_kernels(spark, df))
-    # repeats are asymmetric (HI gets one more): the box is shared-
-    # noisy; a depressed HI run understates the efficiency ratio
-    # (round-1 artifact recorded pipeline 0.723 with best-of-2 vs 0.91
-    # solo), and HI iterations are ~4x cheaper than LO ones
+    kern = _best(lambda: run_kernels(spark, df), n=3)
+    # SYMMETRIC best-of-3 on BOTH levels (review r2: best-of-3 on the
+    # numerator only biases the reported efficiency upward; the box is
+    # shared-noisy, so min-of-k is still the right estimator per level)
     pipe = _best(lambda: run_pipeline(spark, df), n=reps_pipe)
     print(
         json.dumps(
@@ -148,7 +147,7 @@ def worker(cpus: int, path: str, reps_pipe: int = 2) -> None:
     spark.stop()
 
 
-def _run_worker(cpus: int, path: str, reps_pipe: int = 2) -> dict:
+def _run_worker(cpus: int, path: str, reps_pipe: int = 3) -> dict:
     r = subprocess.run(
         [
             sys.executable,
@@ -221,7 +220,7 @@ def _run_phase1(fixture_path: str, staged: str) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        reps_pipe = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        reps_pipe = int(sys.argv[4]) if len(sys.argv) > 4 else 3
         worker(int(sys.argv[2]), sys.argv[3], reps_pipe=reps_pipe)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--phase1":
@@ -243,7 +242,7 @@ def main() -> None:
         scaling_error = None
         lo = hi = None
         try:
-            lo = _run_worker(LO, staged, reps_pipe=2)
+            lo = _run_worker(LO, staged, reps_pipe=3)
             mark("LO worker done")
             hi = _run_worker(HI, staged, reps_pipe=3)
             mark("HI worker done")

@@ -36,7 +36,7 @@ def _build_spec(args):
 
 def _input_fingerprint(path: str) -> str:
     """Cheap content identity for resume scoping. Local paths digest
-    the sorted (name, size, mtime) listing ONLY — equivalent spellings
+    the sorted (name, size, mtime_ns, inode) listing ONLY — equivalent spellings
     (./data vs /abs/data) resume each other. Non-local URIs (s3a://,
     hdfs://, globs) have no cheap local stat, so the URI string itself
     is the identity — different remote datasets never share a
@@ -45,16 +45,25 @@ def _input_fingerprint(path: str) -> str:
     import hashlib
     import os
 
+    # st_mtime_ns + st_ino (not whole-second mtime): a file rewritten
+    # in place with identical size within the same second must change
+    # the fingerprint, or resume silently skips shards over changed
+    # data (review r2)
     entries = []
     if os.path.isdir(path):
         for root, _, files in os.walk(path):
             for f in sorted(files):
                 p = os.path.join(root, f)
                 st = os.stat(p)
-                entries.append(f"{os.path.relpath(p, path)}:{st.st_size}:{int(st.st_mtime)}")
+                entries.append(
+                    f"{os.path.relpath(p, path)}:{st.st_size}"
+                    f":{st.st_mtime_ns}:{st.st_ino}"
+                )
     elif os.path.exists(path):
         st = os.stat(path)
-        entries.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+        entries.append(
+            f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}:{st.st_ino}"
+        )
     else:
         entries.append(f"uri:{path.rstrip('/')}")
     return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]

@@ -105,8 +105,10 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
             # portable list rendering: 'a,b,c' in both engines (map →
             # its values, insertion-ordered in both). Non-string
             # elements go through element-wise CAST AS VARCHAR —
-            # identical for ints/strings; float arrays would need the
-            # DECIMAL trick and are not supported as offending values.
+            # identical for ints/strings; float elements get the same
+            # per-element DECIMAL(28,6) rendering as scalar floats
+            # (CAST(double AS VARCHAR) formats differently across
+            # engines — review r2).
             def _vals():
                 c = F.col(name)
                 return F.map_values(c) if is_map else c
@@ -116,6 +118,18 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
                 return (
                     lambda: F.concat_ws(",", _vals()),
                     f"array_to_string({vals_sql}, ',')",
+                )
+            if elem_type in ("double", "float"):
+                return (
+                    lambda: F.concat_ws(
+                        ",",
+                        F.transform(
+                            _vals(),
+                            lambda x: x.cast("decimal(28,6)").cast("string"),
+                        ),
+                    ),
+                    f"array_to_string(list_transform({vals_sql},"
+                    f" x -> CAST(CAST(x AS DECIMAL(28,6)) AS VARCHAR)), ',')",
                 )
             return (
                 lambda: F.concat_ws(
@@ -574,11 +588,17 @@ def compile_row_rule(rule, context: dict | None = None) -> CompiledRule:
 
     ``context`` is the ValidationInfo.context analog
     (src/satya/validators.py:23-37): run-scoped constants a validator
-    can parameterize on. A ``fail_fn`` that declares a parameter
-    receives the dict at compile time (it's fixed per run — fold it
-    into the expression, don't evaluate per row); zero-arg rules are
-    untouched. ``fail_sql`` may be a callable(context) -> str for the
-    oracle twin."""
+    can parameterize on. A ``fail_fn`` opts in EXPLICITLY by naming its
+    single required positional parameter ``ctx`` or ``context`` — it
+    then receives the dict at compile time (it's fixed per run — fold
+    it into the expression, don't evaluate per row). Any other
+    signature is treated as zero-arg: the compiler's own
+    default-arg-binding idiom (``lambda n=n: ...``), legacy one-arg
+    fail_fns with a differently-named parameter, and C callables /
+    partials whose signature can't be introspected all stay untouched
+    (review r2: an any-required-positional heuristic silently fed the
+    context dict to non-context callables). ``fail_sql`` may be a
+    callable(context) -> str for the oracle twin."""
     import inspect
 
     def _off():
@@ -587,13 +607,16 @@ def compile_row_rule(rule, context: dict | None = None) -> CompiledRule:
         return F.lit(None).cast("string")
 
     fail_fn = rule.fail_fn
-    # context-taking = exactly a REQUIRED positional parameter; the
-    # compiler's own default-arg-binding idiom (lambda n=n: ...) and
-    # **kwargs shapes must stay zero-arg callables
+    # explicit opt-in: a required positional parameter NAMED ctx/context
+    try:
+        params = inspect.signature(fail_fn).parameters.values()
+    except (ValueError, TypeError):  # C callable / partial without signature
+        params = ()
     takes_ctx = any(
         p.default is p.empty
         and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-        for p in inspect.signature(fail_fn).parameters.values()
+        and p.name in ("ctx", "context")
+        for p in params
     )
     if takes_ctx:
         ctx = dict(context or {})

@@ -268,13 +268,19 @@ def simhash_signatures(
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+SIMHASH_PAIR_BITS = 60  # production default: 15-bit chunks, see below
+SIMHASH_PAIR_CHUNKS = 4
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
-    chunks: int = 4,
+    *,
+    bits: int = SIMHASH_PAIR_BITS,
+    chunks: int = SIMHASH_PAIR_CHUNKS,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance ≤ max_hamming, blocked by
     SimHash CHUNKS (pigeonhole: two sigs within hamming d < chunks
@@ -282,11 +288,24 @@ def simhash_pairs(
     banding trick as MinHash-LSH. Replaces the round-1 version that
     blocked by language only — an n² join within one language, which
     at 100 TB is ~the whole corpus. Here the join is equi on
-    (chunk_idx, chunk_value): with 64-bit sigs and 8-bit..16-bit
-    chunks the buckets stay small; recall is exact (guaranteed by
+    (chunk_idx, chunk_value); recall is exact (guaranteed by
     pigeonhole), verification is the cheap bit_count filter.
-    Returns (id_a, id_b, hamming), id_a < id_b."""
-    assert max_hamming < chunks and bits % chunks == 0
+    Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale knobs (the 100 TB defaults): ``bits=60, chunks=4`` → 15-bit
+    chunk values, 4 × 32,768 = 131k distinct (chunk_idx, value) join
+    keys — buckets stay ~n/32k per chunk. bits=32/chunks=4 (8-bit
+    chunks, 1,024 keys total) is a TEST-SCALE config only: at 10^11
+    docs its buckets are monsters. Ceiling: ``bits ≤ 62`` (the
+    signature is assembled by summing bit·2^b into a signed long —
+    bit 62 is the last that can't overflow) and ``bits % chunks == 0``
+    (62 itself pairs only with chunks ∈ {2, 31}; 60 is the largest
+    value divisible by 4). ``bits``/``chunks`` are keyword-only so the
+    round-1 positional call shape (5th arg = lang_col) fails loudly
+    instead of silently reinterpreting; ``lang_col`` is accepted and
+    IGNORED for that same migration (blocking is by signature chunks
+    now — strictly stronger than language blocking)."""
+    assert max_hamming < chunks and bits % chunks == 0 and bits <= 62
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     sigs = simhash_signatures(df, id_col, text_col, bits=bits)

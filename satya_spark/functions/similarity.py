@@ -229,19 +229,118 @@ def lsh_topk(
 # --- IVF (inverted-file) index ---------------------------------------------
 
 
+def _assign_lists_np(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "__list",
+) -> DataFrame:
+    """Arrow-batched IVF centroid assignment: ONE numpy float64 matmul
+    per Arrow batch against the (k, dims) centroid matrix. This is the
+    production-dims scale path — the pure-expression
+    ``_nearest_centroid`` inlines k×dims multiply-adds into the plan,
+    and past ~500 terms (e.g. dims=512 × k=256) the fused stage blows
+    Janino's 64 KB method limit and silently drops to interpreted eval
+    (measured, BENCH.md), while a matmul is both smaller and faster.
+
+    Parity with the expression path: cosines are rounded to 6 decimals
+    before the argmax and ties break to the SMALLEST centroid index
+    (numpy argmax returns the first occurrence of the max — the same
+    order ``_nearest_centroid``'s when-chain scans)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dims)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0] = 1.0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            xn[xn == 0] = 1.0
+            sims = np.round(x @ C.T / (xn[:, None] * cn[None, :]), 6)
+            out = pdf[[id_col, vec_col]].copy()
+            out[out_col] = sims.argmax(axis=1).astype(np.int32)
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} array<float>, {out_col} int"
+    )
+
+
+def _probe_lists_np(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    query_id_col: str = "query_id",
+    vec_col: str = "__qvec",
+) -> DataFrame:
+    """Arrow-batched probe selection: per query, the ``nprobe``
+    highest-cosine centroid lists, one output row per (query, list).
+    Parity with the expression path's ``reverse(array_sort(struct))``:
+    cosines rounded to 6 decimals; ties break to the LARGEST centroid
+    index."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k = C.shape[0]
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0] = 1.0
+    idx = np.arange(k)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            xn[xn == 0] = 1.0
+            sims = np.round(x @ C.T / (xn[:, None] * cn[None, :]), 6)
+            frames = []
+            for r in range(len(pdf)):
+                # primary: sim desc; secondary: centroid idx desc
+                order = np.lexsort((-idx, -sims[r]))[:nprobe]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: pdf[query_id_col].iloc[r],
+                            vec_col: [pdf[vec_col].iloc[r]] * len(order),
+                            "__list": order.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        run, schema=f"{query_id_col} long, {vec_col} array<float>, __list int"
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> list[list[float]]:
     """Deterministic mini k-means, DataFrame-native: initial
     centroids are the k id-stride vectors; each iteration assigns by
-    max cosine (K broadcast expressions) and recomputes means via
-    posexplode + groupBy(centroid, dim) — the per-dimension mean is
-    one map-side-combinable aggregation, so training scales to any
-    corpus size while centroids (k×dims floats) stay driver-side."""
+    max cosine and recomputes means via posexplode +
+    groupBy(centroid, dim) — the per-dimension mean is one
+    map-side-combinable aggregation, so training scales to any corpus
+    size while centroids (k×dims floats) stay driver-side.
+
+    ``impl='expr'`` assigns with K broadcast Catalyst expressions
+    (bit-exact SQL-oracle parity); ``impl='arrow'`` with the numpy
+    matmul (``_assign_lists_np``) — the production-dims config."""
     n = corpus.count()
     stride = max(1, n // k)
     cents = [
@@ -253,9 +352,14 @@ def train_centroids(
         .collect()
     ]
     for _ in range(iters):
-        assigned = corpus.withColumn(
-            "__c", _nearest_centroid(F.col(vec_col), cents)
-        )
+        if impl == "arrow":
+            assigned = _assign_lists_np(
+                corpus, cents, id_col=id_col, vec_col=vec_col, out_col="__c"
+            )
+        else:
+            assigned = corpus.withColumn(
+                "__c", _nearest_centroid(F.col(vec_col), cents)
+            )
         means = (
             assigned.select(
                 "__c", F.posexplode(F.col(vec_col)).alias("dim", "val")
@@ -309,29 +413,53 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "expr",
 ) -> DataFrame:
     """IVF search: corpus rows carry their nearest-centroid list id;
     each query probes its ``nprobe`` closest lists. The probed
     fraction is ~nprobe/k of the corpus; within-list ranking is exact
-    cosine. Index assignment is a constant-folded expression — at
-    scale the list id is a partition column and probing is partition
-    pruning."""
-    c = corpus.withColumn("__list", _nearest_centroid(F.col(vec_col), centroids))
-    # rounded for engine portability; struct sort ties break on the
-    # centroid index DESCENDING (reverse of ascending array_sort)
-    sims = [F.round(_cos_to_const(F.col(vec_col), cent), 6) for cent in centroids]
-    probe_struct = F.array(
-        *[
-            F.struct(sims[i].alias("s"), F.lit(i).alias("c"))
-            for i in range(len(centroids))
+    cosine. At scale the list id is a partition column and probing is
+    partition pruning.
+
+    ``impl='expr'`` inlines assignment/probe as constant-folded
+    Catalyst expressions (bit-exact SQL-oracle parity; k×dims terms —
+    past ~500 the fused stage drops to interpreted eval).
+    ``impl='arrow'`` assigns and probes via one numpy matmul per Arrow
+    batch (``_assign_lists_np`` / ``_probe_lists_np``) — the 100 TB
+    configuration for production dims×k; same 6-decimal rounding and
+    tie-breaks, parity-tested in tests/test_functions.py."""
+    if impl == "arrow":
+        c = _assign_lists_np(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        q = _probe_lists_np(
+            queries.select(
+                F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            ),
+            centroids,
+            nprobe,
+            query_id_col=query_id_col,
+            vec_col="__qvec",
+        )
+    else:
+        c = corpus.withColumn(
+            "__list", _nearest_centroid(F.col(vec_col), centroids)
+        )
+        # rounded for engine portability; struct sort ties break on the
+        # centroid index DESCENDING (reverse of ascending array_sort)
+        sims = [
+            F.round(_cos_to_const(F.col(vec_col), cent), 6) for cent in centroids
         ]
-    )
-    probes = F.slice(F.reverse(F.array_sort(probe_struct)), 1, nprobe)
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(F.transform(probes, lambda x: x["c"])).alias("__list"),
-    )
+        probe_struct = F.array(
+            *[
+                F.struct(sims[i].alias("s"), F.lit(i).alias("c"))
+                for i in range(len(centroids))
+            ]
+        )
+        probes = F.slice(F.reverse(F.array_sort(probe_struct)), 1, nprobe)
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(F.transform(probes, lambda x: x["c"])).alias("__list"),
+        )
     j = c.join(F.broadcast(q), "__list").filter(
         F.col(query_id_col) != F.col(id_col)
     )

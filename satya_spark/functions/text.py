@@ -117,9 +117,15 @@ def stopword_hits_sql(name: str, lang: str = "en") -> str:
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return stopword_ratio_from_hits(col, stopword_hits(col, lang))
+
+
+def stopword_ratio_from_hits(col: Column, hits: Column) -> Column:
+    """stopword_ratio over a PRE-PROJECTED hit count (attribute
+    reference) — the structural-reuse form; see ``with_stopword_hits``."""
     n = token_count_ws(col)
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.round(stopword_hits(col, lang).cast("double") / n, 6)
+        F.round(hits.cast("double") / n, 6)
     )
 
 
@@ -134,12 +140,20 @@ def stopword_ratio_sql(name: str, lang: str = "en") -> str:
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + low punct +
     nonzero stopword signal. Deterministic arithmetic only."""
+    return quality_score_from_hits(col, stopword_hits(col, "en"))
+
+
+def quality_score_from_hits(col: Column, hits_en: Column) -> Column:
+    """``quality_score`` with the English stopword hit count supplied
+    as a pre-projected attribute reference (``with_stopword_hits``) —
+    avoids re-deriving the padded-stopword regexp subtree inside the
+    score expression."""
     n = F.length(col)
     len_ok = F.when((n >= 50) & (n <= 5000), F.lit(0.5)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(col) < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stopword_ratio(col, "en") > 0.02, F.lit(0.25)).otherwise(
-        F.lit(0.0)
-    )
+    stop_ok = F.when(
+        stopword_ratio_from_hits(col, hits_en) > 0.02, F.lit(0.25)
+    ).otherwise(F.lit(0.0))
     return F.when(F.coalesce(n, F.lit(0)) == 0, F.lit(0.0)).otherwise(
         F.round(len_ok + punct_ok + stop_ok, 2)
     )
@@ -156,14 +170,36 @@ def quality_score_sql(name: str) -> str:
     )
 
 
+LANGS = ("en", "de", "fr", "es")
+
+
+def with_stopword_hits(df, text_col: str = "text", prefix: str = "hits_"):
+    """ONE projection hoisting the per-language stopword hit counts as
+    attribute columns (``hits_en`` … ``hits_es``). This makes the
+    no-duplicate-work property STRUCTURAL instead of resting on
+    Catalyst common-subexpression elimination: downstream ``lang_id``
+    / ``quality_score`` consume attribute references, so each
+    language's padded-stopword regexp_count appears exactly once in
+    the physical plan (pinned by tests/test_plans.py). CollapseProject
+    will not inline a non-cheap expression referenced more than once,
+    so the two-Project shape survives optimization."""
+    c = F.col(text_col)
+    return df.withColumns({f"{prefix}{l}": stopword_hits(c, l) for l in LANGS})
+
+
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: CJK chars → zh, else argmax of
     per-language stopword hits (ties broken by fixed language order
     en>de>fr>es; no hits → 'und')."""
-    hits = {l: stopword_hits(col, l) for l in ("en", "de", "fr", "es")}
+    return lang_id_from_hits(col, {l: stopword_hits(col, l) for l in LANGS})
+
+
+def lang_id_from_hits(col: Column, hits: dict[str, Column]) -> Column:
+    """``lang_id`` over pre-projected hit columns (attribute refs from
+    ``with_stopword_hits``) — the structural-reuse form."""
     best = F.greatest(*hits.values())
     out = F.when(col.rlike(CJK_PATTERN), F.lit("zh")).when(best == 0, F.lit("und"))
-    for l in ("en", "de", "fr", "es"):
+    for l in LANGS:
         out = out.when(hits[l] == best, F.lit(l))
     return out
 

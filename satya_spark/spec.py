@@ -148,9 +148,10 @@ class RowRule:
     analog (``src/satya/validators.py:110-140``): a custom boolean
     expression over multiple columns. ``fail_fn`` builds a Column
     that is TRUE on violating rows (lazy: no session needed to
-    declare); it may declare one required positional parameter to
-    receive the run-scoped ``context`` dict (ValidationInfo.context
-    analog). ``fail_sql`` is the optional DuckDB twin for the
+    declare); it may opt in to the run-scoped ``context`` dict
+    (ValidationInfo.context analog) by declaring one required
+    positional parameter NAMED ``ctx`` or ``context`` — any other
+    parameter name is treated as a zero-arg callable. ``fail_sql`` is the optional DuckDB twin for the
     differential oracle — a plain string, or ``callable(context) ->
     str`` for context-parameterized rules. Field-scoped custom checks
     (the ``@field_validator`` analog,

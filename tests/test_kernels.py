@@ -252,3 +252,66 @@ def test_offending_value_rendering(spark):
     out = compiled.violations_df(df, []).collect()
     assert out[0]["offending_value"] == "zz"
     assert out[0]["constraint_name"] == "enum"
+
+
+def test_float_array_offending_value_matches_duckdb(spark):
+    """Per-item constraints on array<double>: the offending-value
+    rendering must be engine-portable (review r2 — bare CAST(double
+    AS VARCHAR) formats '1.0E9' in Spark vs '1000000000.0' in DuckDB;
+    elements now go through the same DECIMAL(28,6) trick as scalar
+    floats)."""
+    import duckdb
+
+    f = FieldSpec("xs", "array<double>", ge=0.0, le=1e9)
+    spec = TableSpec(name="t", fields=(f,))
+    compiled = compile_spec(spec)
+    data = [(0, [1.5, 2.0e9]), (1, [0.25, -3.5]), (2, [1.0]), (3, None)]
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("xs", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(data, schema=schema)
+    spark_rows = sorted(
+        (r["i"], r["constraint_name"], r["offending_value"])
+        for r in compiled.violations_df(df, ["i"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, xs DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", data)
+    duck_rows = sorted(
+        (r[0], r[2], r[3])
+        for r in con.execute(compiled.violations_sql("t", ["i"])).fetchall()
+    )
+    assert spark_rows == duck_rows and len(spark_rows) == 2
+    # the rendering itself is the fixed-decimal form, not E-notation
+    assert all("E" not in ov for _, _, ov in spark_rows)
+
+
+def test_map_float_values_offending_value_matches_duckdb(spark):
+    import duckdb
+
+    f = FieldSpec("props", "map<string,double>", ge=0.0)
+    spec = TableSpec(name="t", fields=(f,))
+    compiled = compile_spec(spec)
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("props", T.MapType(T.StringType(), T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame([(0, {"a": 2.0e9, "b": -1.5})], schema=schema)
+    spark_rows = sorted(
+        (r["constraint_name"], r["offending_value"])
+        for r in compiled.violations_df(df, ["i"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 0 AS i, MAP(['a','b'], [2.0e9, -1.5]) AS props"
+    )
+    duck_rows = sorted(
+        (r[2], r[3])
+        for r in con.execute(compiled.violations_sql("t", ["i"])).fetchall()
+    )
+    assert spark_rows == duck_rows

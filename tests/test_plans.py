@@ -126,3 +126,36 @@ def test_embedding_near_dup_join_is_equi_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     join_lines = [l for l in plan.splitlines() if "Join" in l and "bucket" in l]
     assert join_lines and all("band" in l for l in join_lines)
+
+
+def test_text_queries_compute_stopword_hits_once(spark):
+    """VERDICT r2 #3: the stopword-hit reuse must be STRUCTURAL, not
+    CSE luck — each language's padded-stopword regexp_count appears
+    exactly once in the physical plan of the gated text queries, and
+    unused languages are pruned away entirely."""
+    import __spark_entry__ as entrymod
+
+    from satya_spark.functions.text import STOPWORDS
+
+    sf = "/root/testdata/sf0.001"
+    sig = {
+        l: "(" + "|".join(STOPWORDS[l][:3]) + "|" for l in ("en", "de", "fr", "es")
+    }
+    # the docs fixture is a 3-branch Union — once per row means once
+    # per branch, i.e. count == the number of FileScans
+    plan_langid = _executed_plan(entrymod.queries()["text_langid"](spark, sf))
+    branches = plan_langid.count("FileScan")
+    assert branches >= 1
+    for l, s in sig.items():
+        assert plan_langid.count(s) == branches, (l, plan_langid.count(s))
+
+    plan_stats = _executed_plan(entrymod.queries()["text_stats"](spark, sf))
+    branches2 = plan_stats.count("FileScan")
+    assert branches2 >= 1
+    assert plan_stats.count(sig["en"]) == branches2
+    # column pruning drops the three unused languages' hit columns
+    for l in ("de", "fr", "es"):
+        assert plan_stats.count(sig[l]) == 0
+    # pure JVM: no Python eval anywhere in either plan
+    for p in (plan_langid, plan_stats):
+        assert "EvalPython" not in p and "MapInPandas" not in p

@@ -331,3 +331,28 @@ def test_scalar_fractional_multiple_of_on_int_column(spark):
     df = spark.createDataFrame([(5,), (4,), (10,)], "n long")
     rows = compile_spec(spec).violations_df(df, ["n"]).collect()
     assert {r["n"] for r in rows} == {4}  # 5 and 10 ARE multiples of 2.5
+
+
+def test_row_rule_context_optin_is_by_parameter_name(spark):
+    """review r2: context injection must be an explicit opt-in (param
+    named ctx/context). A legacy one-arg fail_fn with another name is
+    treated as zero-arg (loud TypeError on evaluation, never silently
+    fed the context dict), and non-introspectable callables don't
+    crash the signature probe."""
+    from satya_spark.compiler import compile_row_rule
+    from satya_spark.spec import RowRule
+
+    calls = []
+
+    def legacy(threshold):  # NOT named ctx/context
+        calls.append(threshold)
+        return F.lit(True)
+
+    compiled = compile_row_rule(RowRule("legacy", legacy), {"max_len": 3})
+    with pytest.raises(TypeError):
+        compiled.fail  # zero-arg call of a one-arg fn — loud, not silent
+    assert calls == []  # the context dict was never fed in
+
+    # C callables without an introspectable signature must not crash
+    # the probe (treated as zero-arg)
+    compile_row_rule(RowRule("builtin", min), {"a": 1})
