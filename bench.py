@@ -60,6 +60,16 @@ HEADLINE = [
     "drift_ks",
 ]
 
+# LLM-pipeline tier (VERDICT r2 #4): timed via .count() — engine work
+# only; .collect() of multi-million-pair results would measure driver
+# serialization, not the dedup join
+DEDUP_HEADLINE = [
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding",
+    "ann_lsh_topk",
+]
+
 
 def _session(cpus: int):
     from satya_spark.session import get_spark
@@ -187,6 +197,12 @@ def phase1(cpus: int, sf_dir: str, fixture_path: str, staged: str) -> None:
         t0 = time.monotonic()
         fn(spark, sf_dir).collect()
         times[name] = round(time.monotonic() - t0, 3)
+    for name in DEDUP_HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.monotonic() - t0, 3)
     synthesize(spark, n_conv=N_CONV, partitions=32).write.mode(
         "overwrite"
     ).parquet(staged)
@@ -195,6 +211,139 @@ def phase1(cpus: int, sf_dir: str, fixture_path: str, staged: str) -> None:
     full_kern = _best(lambda: run_kernels(spark, df))
     print(json.dumps({"times": times, "n": n, "full_kern": full_kern}))
     spark.stop()
+
+
+def phase_stream(cpus: int, tmp_root: str) -> None:
+    """Streaming-tier evidence (§2.7): a file-source readStream driven
+    through (a) the compiled validation kernels via foreachBatch and
+    (b) the stateful per-conversation operator
+    (applyInPandasWithState), each with a checkpoint STOP/RESTART in
+    the middle of the input. Prints rows/s for both plus an
+    exactly-once assertion: the verdict counts accumulated across the
+    two checkpointed runs must equal the batch ground truth — a
+    re-processed or dropped micro-batch would break the equality."""
+    import glob
+    import shutil as _sh
+
+    from satya_spark.compiler import compile_spec
+    from satya_spark.spec import transcript_spec
+    from satya_spark.streaming.stateful import stateful_turn_checks
+    from satya_spark.transcripts import synthesize
+
+    n_conv = int(os.environ.get("SATYA_BENCH_STREAM_NCONV", "60000"))
+    spark = _session(cpus)
+    all_dir = os.path.join(tmp_root, "stream_all")
+    in_dir = os.path.join(tmp_root, "stream_in")
+    os.makedirs(in_dir)
+    synthesize(spark, n_conv=n_conv, partitions=8).write.mode(
+        "overwrite"
+    ).parquet(all_dir)
+    parts = sorted(glob.glob(os.path.join(all_dir, "part-*")))
+    batch = spark.read.parquet(all_dir)
+    schema = batch.schema
+    compiled = compile_spec(transcript_spec())
+    from pyspark.sql import functions as F
+
+    totals = {"rows": 0, "invalid": 0}
+
+    def on_batch(bdf, _bid):
+        r = compiled.with_validation(bdf).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("valid")).cast("long")).alias("inv"),
+        ).collect()[0]
+        totals["rows"] += int(r["n"] or 0)
+        totals["invalid"] += int(r["inv"] or 0)
+
+    ckpt_k = os.path.join(tmp_root, "ckpt_kernel")
+    ckpt_s = os.path.join(tmp_root, "ckpt_state")
+    out_s = os.path.join(tmp_root, "out_state")
+
+    def run_once() -> float:
+        t0 = time.monotonic()
+        qk = (
+            spark.readStream.schema(schema)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt_k)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qs = (
+            stateful_turn_checks(
+                spark.readStream.schema(schema).parquet(in_dir)
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_s)
+            .option("checkpointLocation", ckpt_s)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qk.awaitTermination(900)
+        qs.awaitTermination(900)
+        return time.monotonic() - t0
+
+    # first half, then STOP (query objects die) — restart from the
+    # checkpoints over the rest. The second half also REPLAYS the
+    # first file under a new name: every turn in it was already seen
+    # in run 1, so the stateful operator can only flag them as
+    # duplicates if its per-conversation state survived the restart —
+    # cross-restart state evidence, not just throughput.
+    for p in parts[: len(parts) // 2]:
+        _sh.copy(p, in_dir)
+    t_first = run_once()
+    for p in parts[len(parts) // 2 :]:
+        _sh.copy(p, in_dir)
+    _sh.copy(parts[0], os.path.join(in_dir, "replayed-" + os.path.basename(parts[0])))
+    t_second = run_once()
+    wall = t_first + t_second
+
+    # ground truth over exactly what the stream saw (incl. the replay)
+    seen = spark.read.parquet(in_dir)
+    gt = compiled.with_validation(seen).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("valid")).cast("long")).alias("inv"),
+    ).collect()[0]
+    gt_rows, gt_invalid = int(gt["n"]), int(gt["inv"])
+    replayed_rows = spark.read.parquet(parts[0]).count()
+
+    exactly_once = totals["rows"] == gt_rows and totals["invalid"] == gt_invalid
+    anomalies = spark.read.parquet(out_s).count()
+    print(
+        json.dumps(
+            {
+                "rows": gt_rows,
+                "wall_sec": round(wall, 3),
+                "stream_rows_per_sec": round(gt_rows / wall),
+                "invalid_rows": totals["invalid"],
+                "exactly_once_across_restart": exactly_once,
+                "replayed_rows": replayed_rows,
+                "stateful_anomaly_rows": anomalies,
+                "state_survived_restart": anomalies >= replayed_rows,
+                "resumed_from_checkpoint": True,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _run_phase_stream(tmp_root: str) -> dict:
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--stream",
+            str(CPUS),
+            tmp_root,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"stream phase failed: {r.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def _run_phase1(fixture_path: str, staged: str) -> dict:
@@ -226,6 +375,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--phase1":
         phase1(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stream":
+        phase_stream(int(sys.argv[2]), sys.argv[3])
+        return
 
     t_start = time.monotonic()
 
@@ -248,6 +400,15 @@ def main() -> None:
             mark("HI worker done")
         except Exception as e:  # never lose the whole bench to a worker
             scaling_error = str(e)[:500]
+
+        streaming = None
+        try:
+            stream_root = os.path.join(tmp_root, "stream")
+            os.makedirs(stream_root)
+            streaming = _run_phase_stream(stream_root)
+            mark("streaming phase done")
+        except Exception as e:  # never lose the whole bench to streaming
+            streaming = {"error": str(e)[:500]}
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
 
@@ -263,6 +424,7 @@ def main() -> None:
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "headline_total_sec": round(sum(times.values()), 3),
                     "scaling_error": scaling_error,
+                    **({"streaming": streaming} if streaming else {}),
                 }
             )
         )
@@ -292,6 +454,8 @@ def main() -> None:
             "full_width_kernel_rows_per_sec": round(n / full_kern),
         },
     }
+    if streaming is not None:
+        result["streaming"] = streaming
     print(json.dumps(result))
 
 

@@ -90,6 +90,7 @@ def cmd_validate(args) -> int:
         fields = [
             T.StructField(f.name, T._parse_datatype_string(spark_type(f.dtype)))
             for f in spec.fields
+            if "." not in f.name  # struct paths live inside parents
         ]
         df = read_ndjson(spark, args.input, T.StructType(fields)).drop("json_ok")
 

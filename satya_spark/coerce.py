@@ -57,9 +57,25 @@ def coerce_column(f: FieldSpec, col: Column) -> Column:
         out = out.try_cast(f.dtype)
     elif f.dtype == "string":
         out = out.cast("string")
-    if f.default is not None and not f.required:
-        out = F.coalesce(out, F.lit(f.default))
+    d = _columnar_default(f)
+    if d is not None and not f.required:
+        out = F.coalesce(out, F.lit(d))
     return out
+
+
+def _columnar_default(f: FieldSpec):
+    """Fill value for the columnar path: ``default`` as-is, else
+    ``default_factory()`` evaluated ONCE at coercion-compile time (a
+    per-record factory is meaningless for columns — the documented
+    stance; the Model/compat path runs the factory per record).
+    Non-literal-able factory products (dicts, objects) are skipped."""
+    if f.default is not None:
+        return f.default
+    if f.default_factory is not None:
+        v = f.default_factory()
+        if isinstance(v, (str, int, float, bool, list, tuple)):
+            return v
+    return None
 
 
 def coerce(df: DataFrame, spec: TableSpec) -> DataFrame:
@@ -69,12 +85,15 @@ def coerce(df: DataFrame, spec: TableSpec) -> DataFrame:
     null, SURVEY.md §2.2)."""
     cols = {}
     for f in spec.fields:
+        if "." in f.name:
+            continue  # struct paths live inside their parent column
         if f.name in df.columns:
             cols[f.name] = coerce_column(f, F.col(f.name))
         else:
             base = F.lit(None).cast(spark_type(f.dtype))
-            if f.default is not None and not f.required:
-                base = F.coalesce(base, F.lit(f.default))
+            d = _columnar_default(f)
+            if d is not None and not f.required:
+                base = F.coalesce(base, F.lit(d))
             cols[f.name] = base
     return df.withColumns(cols)
 

@@ -114,6 +114,14 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
                 return F.map_values(c) if is_map else c
 
             vals_sql = f"map_values({name})" if is_map else name
+            if elem_type.startswith(("struct", "array", "map")):
+                # struct/nested elements have no engine-portable string
+                # rendering (Spark '{a, b}' vs DuckDB struct syntax) —
+                # container-level violations carry a NULL value
+                return (
+                    lambda: F.lit(None).cast("string"),
+                    "CAST(NULL AS VARCHAR)",
+                )
             if elem_type == "string":
                 return (
                     lambda: F.concat_ws(",", _vals()),
@@ -165,10 +173,20 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
         )
 
     if f.required:
+        # dotted path (nested-model struct field, model.py facade): a
+        # null PARENT struct already fires the parent's own required
+        # rule; the inner required fires only when the parent is
+        # present but the inner field is null — otherwise one missing
+        # struct would cascade a violation per inner field (the
+        # reference reports the missing parent once,
+        # src/satya/validator.py:310-374)
+        parent = name.rsplit(".", 1)[0] if "." in name else None
 
-        def _req_fail():
+        def _req_fail(parent=parent):
             from pyspark.sql import functions as F
 
+            if parent is not None:
+                return F.col(parent).isNotNull() & F.col(name).isNull()
             return F.col(name).isNull()
 
         def _req_off():
@@ -176,12 +194,17 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
 
             return F.lit(None).cast("string")
 
+        req_sql = (
+            f"({parent} IS NOT NULL AND {name} IS NULL)"
+            if parent is not None
+            else f"({name} IS NULL)"
+        )
         rules.append(
             CompiledRule(
                 field=name,
                 constraint="required",
                 fail_fn=_req_fail,
-                fail_sql=f"({name} IS NULL)",
+                fail_sql=req_sql,
                 offending_fn=_req_off,
                 offending_sql="CAST(NULL AS VARCHAR)",
             )
@@ -192,7 +215,14 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
 
         return F
 
-    if is_array or is_map:
+    if (is_array or is_map) and f.item_fields:
+        # List[Model] / Dict[str, Model] composition: per-element
+        # STRUCT field rules (see _struct_item_rules)
+        rules.extend(_struct_item_rules(f))
+
+    if (is_array or is_map) and not f.item_fields and not elem_type.startswith(
+        "struct"
+    ):
         # --- per-item / map-value kernels ------------------------------
         # The reference validates every list item and every dict VALUE
         # against the field's own scalar constraints, recursively
@@ -461,6 +491,263 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
         )
 
     return rules
+
+
+def _struct_item_rules(f: FieldSpec) -> List[CompiledRule]:
+    """Per-element STRUCT field kernels for ``array<struct<...>>`` /
+    ``map<_,struct<...>>`` columns — the columnar List[Model] /
+    Dict[str, Model] surface (reference recursive nested validation,
+    ``src/satya/validator.py:310-374``, ``src/satya/__init__.py:432-449``).
+
+    For each inner FieldSpec in ``f.item_fields`` (name = dotted path
+    inside the element), every scalar constraint compiles to ONE
+    ``forall`` over the elements (map → its values); null elements and
+    null leaf values skip value rules (§2.2), and an inner ``required``
+    fires only when its in-element parent is present. Violation rows
+    are labelled ``<field>[].<path>``. The ``forall`` HOF is
+    CodegenFallback — specs that use model composition pay that only
+    for themselves (same trade as scalar per-item rules)."""
+    name = f.name
+    is_map = f.dtype.startswith("map")
+
+    def FN():
+        from pyspark.sql import functions as F
+
+        return F
+
+    def _vals():
+        F = FN()
+        c = F.col(name)
+        return F.map_values(c) if is_map else c
+
+    vals_sql = f"map_values({name})" if is_map else name
+
+    def _get(x, path: str):
+        for p in path.split("."):
+            x = x[p]
+        return x
+
+    out: List[CompiledRule] = []
+    for g in f.item_fields or ():
+        gpath = g.name
+        gsql = f"x.{gpath}"
+        is_container = g.dtype.startswith(("array", "map"))
+        is_struct = g.dtype.startswith("struct")
+        label = f"{name}[].{gpath}"
+
+        def mk_off(gpath=gpath, gsql=gsql, g=g, is_struct=is_struct, is_container=is_container):
+            if g.secret:
+                from .spec import SECRET_MASK
+
+                return lambda: FN().lit(SECRET_MASK), f"'{SECRET_MASK}'"
+            if is_struct or is_container:
+                return (
+                    lambda: FN().lit(None).cast("string"),
+                    "CAST(NULL AS VARCHAR)",
+                )
+            if g.dtype in ("double", "float"):
+                return (
+                    lambda: FN().concat_ws(
+                        ",",
+                        FN().transform(
+                            _vals(),
+                            lambda x: _get(x, gpath)
+                            .cast("decimal(28,6)")
+                            .cast("string"),
+                        ),
+                    ),
+                    f"array_to_string(list_transform({vals_sql},"
+                    f" x -> CAST(CAST({gsql} AS DECIMAL(28,6)) AS VARCHAR)), ',')",
+                )
+            return (
+                lambda: FN().concat_ws(
+                    ",",
+                    FN().transform(_vals(), lambda x: _get(x, gpath).cast("string")),
+                ),
+                f"array_to_string(list_transform({vals_sql},"
+                f" x -> CAST({gsql} AS VARCHAR)), ',')",
+            )
+
+        off_fn, off_sql = mk_off()
+
+        def add_elem(cname, pred_fn, pred_sql, gpath=gpath, gsql=gsql, label=label, off_fn=off_fn, off_sql=off_sql):
+            """pred_fn: leaf Column -> ok Column (leaf non-null);
+            pred_sql: ok predicate over the SQL leaf expr."""
+
+            def _fail(pred_fn=pred_fn, gpath=gpath):
+                F = FN()
+                return F.col(name).isNotNull() & ~F.forall(
+                    _vals(),
+                    lambda x: x.isNull()
+                    | _get(x, gpath).isNull()
+                    | pred_fn(_get(x, gpath)),
+                )
+
+            out.append(
+                CompiledRule(
+                    field=label,
+                    constraint=cname,
+                    fail_fn=_fail,
+                    fail_sql=(
+                        f"({name} IS NOT NULL AND len(list_filter({vals_sql},"
+                        f" x -> x IS NOT NULL AND {gsql} IS NOT NULL"
+                        f" AND NOT ({pred_sql}))) > 0)"
+                    ),
+                    offending_fn=off_fn,
+                    offending_sql=off_sql,
+                )
+            )
+
+        if g.required:
+            # fires when the element (and the in-element parent, for
+            # dotted paths) is present but the leaf is null
+            pparent = gpath.rsplit(".", 1)[0] if "." in gpath else None
+
+            def _req_fail(gpath=gpath, pparent=pparent):
+                F = FN()
+
+                def elem_bad(x):
+                    leaf_null = _get(x, gpath).isNull()
+                    if pparent is not None:
+                        return _get(x, pparent).isNotNull() & leaf_null
+                    return leaf_null
+
+                return F.col(name).isNotNull() & F.exists(
+                    _vals(), lambda x: x.isNotNull() & elem_bad(x)
+                )
+
+            guard = f"x.{pparent} IS NOT NULL AND " if pparent is not None else ""
+            out.append(
+                CompiledRule(
+                    field=label,
+                    constraint="required",
+                    fail_fn=_req_fail,
+                    fail_sql=(
+                        f"({name} IS NOT NULL AND len(list_filter({vals_sql},"
+                        f" x -> x IS NOT NULL AND {guard}{gsql} IS NULL)) > 0)"
+                    ),
+                    offending_fn=lambda: FN().lit(None).cast("string"),
+                    offending_sql="CAST(NULL AS VARCHAR)",
+                )
+            )
+
+        if is_container:
+            # containers inside an element: size/uniqueness only
+            if g.min_items is not None:
+                n = g.min_items
+                add_elem(
+                    "min_items",
+                    lambda v, n=n: FN().size(v) >= n,
+                    f"len({gsql}) >= {n}",
+                )
+            if g.max_items is not None:
+                n = g.max_items
+                add_elem(
+                    "max_items",
+                    lambda v, n=n: FN().size(v) <= n,
+                    f"len({gsql}) <= {n}",
+                )
+            if g.unique_items:
+                add_elem(
+                    "unique_items",
+                    lambda v: FN().size(v) == FN().size(FN().array_distinct(v)),
+                    f"len({gsql}) = len(list_distinct({gsql}))",
+                )
+            continue
+        if is_struct:
+            continue  # struct-typed inner: required handled above
+
+        if g.min_length is not None:
+            n, ws = g.min_length, " \t\n\r\x0b\x0c"
+            add_elem(
+                "min_length",
+                lambda v, n=n, ws=ws: FN().length(FN().trim(v, FN().lit(ws))) >= n,
+                f"length(trim({gsql}, ' ' || chr(9) || chr(10) || chr(13)"
+                f" || chr(11) || chr(12))) >= {n}",
+            )
+        if g.max_length is not None:
+            n = g.max_length
+            add_elem(
+                "max_length",
+                lambda v, n=n: FN().length(v) <= n,
+                f"length({gsql}) <= {n}",
+            )
+        if g.pattern is not None:
+            p = g.pattern
+            add_elem(
+                "pattern",
+                lambda v, p=p: v.rlike(p),
+                f"regexp_matches({gsql}, {_sql_quote(p)})",
+            )
+        if g.email:
+            add_elem(
+                "email",
+                lambda v: v.rlike(EMAIL_PATTERN)
+                & (FN().length(v) <= EMAIL_MAX_LEN),
+                f"(regexp_matches({gsql}, {_sql_quote(EMAIL_PATTERN)})"
+                f" AND length({gsql}) <= {EMAIL_MAX_LEN})",
+            )
+        if g.url:
+            add_elem(
+                "url",
+                lambda v: v.rlike(URL_PATTERN),
+                f"regexp_matches({gsql}, {_sql_quote(URL_PATTERN)})",
+            )
+        if g.enum is not None:
+            vals_lit = ", ".join(_sql_quote(v) for v in g.enum)
+            enum = g.enum
+            add_elem(
+                "enum",
+                lambda v, enum=enum: v.isin(*enum),
+                f"{gsql} IN ({vals_lit})",
+            )
+        for cname, op_sql in (
+            ("ge", ">="),
+            ("le", "<="),
+            ("gt", ">"),
+            ("lt", "<"),
+            ("min_value", ">="),
+            ("max_value", "<="),
+        ):
+            bound = getattr(g, cname)
+            if bound is not None:
+
+                def _cmp(v, bound=bound, op=op_sql):
+                    F = FN()
+                    return {
+                        ">=": v >= F.lit(bound),
+                        "<=": v <= F.lit(bound),
+                        ">": v > F.lit(bound),
+                        "<": v < F.lit(bound),
+                    }[op]
+
+                add_elem(cname, _cmp, f"{gsql} {op_sql} {_fmt_num(bound)}")
+        if g.multiple_of is not None:
+            m = g.multiple_of
+            if g.dtype in ("double", "float") or float(m) != int(m):
+
+                def _mof(v, m=m):
+                    F = FN()
+                    r = F.abs(v % F.lit(m))
+                    return (r < MULTIPLE_OF_EPS) | (
+                        F.abs(r - F.lit(m)) < MULTIPLE_OF_EPS
+                    )
+
+                add_elem(
+                    "multiple_of",
+                    _mof,
+                    f"(abs(fmod({gsql}, {_fmt_num(m)})) < {MULTIPLE_OF_EPS!r}"
+                    f" OR abs(abs(fmod({gsql}, {_fmt_num(m)})) - {_fmt_num(m)})"
+                    f" < {MULTIPLE_OF_EPS!r})",
+                )
+            else:
+                mi = int(m)
+                add_elem(
+                    "multiple_of",
+                    lambda v, mi=mi: (v % mi) == 0,
+                    f"({gsql} % {mi}) = 0",
+                )
+    return out
 
 
 @dataclass

@@ -85,6 +85,11 @@ class ValidationEngine:
             for c in sorted(present - declared):
                 out.append({"field": c, "constraint": "extra_field"})
         for f in self.spec.fields:
+            # dotted names are struct paths INSIDE a parent column —
+            # their presence is a data property (the parent's own
+            # required rule + the inner kernels cover it), not schema
+            if "." in f.name:
+                continue
             if f.name not in present and f.required:
                 out.append({"field": f.name, "constraint": "missing_column"})
         return out
@@ -96,10 +101,12 @@ class ValidationEngine:
         schema_violations() has reported them."""
         from .coerce import spark_type
 
-        declared = self.spec.field_names()
+        declared = [n for n in self.spec.field_names() if "." not in n]
         cols = list(df.columns)
         out = df
         for f in self.spec.fields:
+            if "." in f.name:
+                continue  # struct paths live inside their parent
             if f.name not in cols:
                 out = out.withColumn(f.name, F.lit(None).cast(spark_type(f.dtype)))
         if self.spec.extra == "forbid":

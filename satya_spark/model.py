@@ -16,9 +16,15 @@ shape and routes it into the Spark engine twice over:
 
 Supported annotation vocabulary: str, int, float, bool,
 datetime.datetime, Decimal, List[str]/List[int], Dict[str, str],
-Optional[T] (→ required=False), plus the marker types EmailStr /
+Optional[T] (→ required=False), the marker types EmailStr /
 HttpUrl / PositiveInt / NonNegativeInt / PositiveFloat /
-NonNegativeFloat / SecretStr (src/satya/special_types.py analogs).
+NonNegativeFloat / SecretStr (src/satya/special_types.py analogs),
+and MODEL COMPOSITION — ``inner: Inner``, ``List[Inner]``,
+``Dict[str, Inner]`` (reference src/satya/validator.py:310-374,
+src/satya/__init__.py:432-449): nested models validate recursively
+with dotted error paths on the small-batch path and compile to
+struct-column / per-element-struct kernels (FieldSpec.item_fields)
+on the ``validate_df`` scale path, each with a DuckDB SQL twin.
 """
 
 from __future__ import annotations
@@ -105,10 +111,11 @@ class Field:
     so reference class bodies paste over unchanged."""
 
     def __init__(self, type_: Any = None, *, required: Optional[bool] = None,
-                 default: Any = None, **kw: Any):
+                 default: Any = None, default_factory: Any = None, **kw: Any):
         self.type = type_
         self.required = required
         self.default = default
+        self.default_factory = default_factory
         self.kw = {}
         for k, v in kw.items():
             if k not in _FIELD_KWARGS:
@@ -121,8 +128,38 @@ class Field:
                 self.kw[k] = v
 
 
+def _is_model(t: Any) -> bool:
+    return isinstance(t, type) and issubclass(t, Model)
+
+
+def _struct_dtype(mcls: type) -> str:
+    """Model class → Spark struct DDL (inner dtypes via spark_type so
+    'bool' etc. are valid DDL words)."""
+    from .coerce import spark_type
+
+    parts = ", ".join(
+        f"{n}:{spark_type(f._spec.dtype)}" for n, f in mcls.__fields__.items()
+    )
+    return f"struct<{parts}>"
+
+
+def _flatten_model(mcls: type) -> tuple:
+    """Model class → FieldSpecs for every field, nested-model children
+    flattened to dotted paths (depth-first: each field's own
+    ``_extra_specs`` were computed when ITS class was created)."""
+    out = []
+    for fdef in mcls.__fields__.values():
+        out.append(fdef._spec)
+        out.extend(getattr(fdef, "_extra_specs", ()))
+    return tuple(out)
+
+
 def _resolve(annotation: Any) -> tuple:
-    """annotation → (dtype, extra_kwargs, required_default)."""
+    """annotation → (dtype, extra_kwargs, required_default, nested)
+    where nested is None or (kind, ModelSubclass) with kind in
+    {'model', 'list_model', 'dict_model'} — the reference's nested
+    composition surface (src/satya/validator.py:310-374,
+    src/satya/__init__.py:432-449)."""
     import types as _types
 
     origin = get_origin(annotation)
@@ -137,21 +174,42 @@ def _resolve(annotation: Any) -> tuple:
                 f"unsupported Model annotation: {annotation!r} "
                 "(only Optional[T] / T | None unions are columnar)"
             )
-        dtype, extra, _ = _resolve(args[0])
-        return dtype, extra, False
+        dtype, extra, _, nested = _resolve(args[0])
+        return dtype, extra, False, nested
     if origin in (list, List):
         (inner,) = get_args(annotation) or (str,)
-        idt, iextra, _ = _resolve(inner)
-        return f"array<{idt}>", iextra, True
+        if _is_model(inner):
+            return f"array<{_struct_dtype(inner)}>", {}, True, ("list_model", inner)
+        idt, iextra, _, nested = _resolve(inner)
+        if nested is not None:
+            raise TypeError(
+                f"unsupported Model annotation: {annotation!r} "
+                "(containers of containers-of-models are not columnar)"
+            )
+        return f"array<{idt}>", iextra, True, None
     if origin in (dict, Dict):
         args = get_args(annotation) or (str, str)
-        vdt, vextra, _ = _resolve(args[1])
-        return f"map<string,{vdt}>", vextra, True
+        if _is_model(args[1]):
+            return (
+                f"map<string,{_struct_dtype(args[1])}>",
+                {},
+                True,
+                ("dict_model", args[1]),
+            )
+        vdt, vextra, _, nested = _resolve(args[1])
+        if nested is not None:
+            raise TypeError(
+                f"unsupported Model annotation: {annotation!r} "
+                "(containers of containers-of-models are not columnar)"
+            )
+        return f"map<string,{vdt}>", vextra, True, None
+    if _is_model(annotation):
+        return _struct_dtype(annotation), {}, True, ("model", annotation)
     if annotation in _MARKERS:
         dtype, extra = _MARKERS[annotation]
-        return dtype, dict(extra), True
+        return dtype, dict(extra), True, None
     if annotation in _SCALARS:
-        return _SCALARS[annotation], {}, True
+        return _SCALARS[annotation], {}, True, None
     raise TypeError(f"unsupported Model annotation: {annotation!r}")
 
 
@@ -181,41 +239,212 @@ class ModelMeta(type):
             # resolves string annotations (PEP 563 / `from __future__
             # import annotations`) against the defining module
             hints = get_type_hints(cls)
+        import dataclasses as _dc
+
         for fname in own_names:
             fdef = defs[fname]
             if not isinstance(fdef, Field):
                 fdef = Field(default=fdef)
             ann = fdef.type if fdef.type is not None else hints[fname]
-            dtype, extra, required = _resolve(ann)
+            dtype, extra, required, nested = _resolve(ann)
             if fdef.required is not None:
                 required = fdef.required
-            if fdef.default is not None:
+            if fdef.default is not None or fdef.default_factory is not None:
                 required = False
-            fdef._spec = FieldSpec(
-                name=fname,
-                dtype=dtype,
-                required=required,
-                default=fdef.default,
-                **{**extra, **fdef.kw},
-            )
+            fdef._nested = nested
+            fdef._extra_specs = ()
+            if nested is not None and nested[0] == "model":
+                # nested Model → struct column (required check only) +
+                # flattened dotted-path FieldSpecs carrying the inner
+                # constraints (the spec layer validates dotted paths)
+                mcls = nested[1]
+                fdef._spec = FieldSpec(
+                    name=fname, dtype=dtype, required=required
+                )
+                fdef._extra_specs = tuple(
+                    _dc.replace(s, name=f"{fname}.{s.name}")
+                    for s in _flatten_model(mcls)
+                )
+            elif nested is not None:
+                # List[Model] / Dict[str, Model] → container column
+                # with per-element struct rules (item_fields) + the
+                # declared container constraints (min/max_items, ...)
+                mcls = nested[1]
+                fdef._spec = FieldSpec(
+                    name=fname,
+                    dtype=dtype,
+                    required=required,
+                    item_fields=_flatten_model(mcls),
+                    **fdef.kw,
+                )
+            else:
+                fdef._spec = FieldSpec(
+                    name=fname,
+                    dtype=dtype,
+                    required=required,
+                    default=fdef.default,
+                    default_factory=fdef.default_factory,
+                    **{**extra, **fdef.kw},
+                )
             fields[fname] = fdef
         cls.__fields__ = fields
         return cls
 
 
+def _default_value(fdef: Field) -> Any:
+    """Per-record default: default_factory runs per call; mutable
+    plain defaults are deep-copied so instances never share state
+    (reference src/satya/__init__.py:369-381,
+    tests/test_edge_cases.py:46-64)."""
+    import copy
+
+    if fdef.default_factory is not None:
+        return fdef.default_factory()
+    if isinstance(fdef.default, (list, dict, set, bytearray)):
+        return copy.deepcopy(fdef.default)
+    return fdef.default
+
+
+def _prefix_errors(prefix: str, errors: list) -> list:
+    from .compat import ValidationError
+
+    return [
+        ValidationError(
+            f"{prefix}.{e.field}",
+            e.message,
+            value=e.value,
+            path=[prefix] + list(e.path or []),
+            constraint=e.constraint,
+            suggestion=e.suggestion,
+        )
+        for e in errors
+    ]
+
+
 class Model(metaclass=ModelMeta):
     """Reference-shaped Model base (src/satya/__init__.py:330-900,
-    reduced to the validation/dump surface)."""
+    reduced to the validation/dump surface). Nested composition —
+    ``inner: Inner``, ``List[Inner]``, ``Dict[str, Inner]`` — is
+    validated recursively with dotted error paths on this small-batch
+    path (reference src/satya/validator.py:310-374,
+    tests/test_nested_models.py) and compiles to struct/array-of-
+    struct kernels on the ``validate_df`` scale path."""
 
     __fields__: Dict[str, Field] = {}
 
     def __init__(self, **data: Any):
-        errs = type(self).validator().validate(data).errors
+        from .compat import ValidationError
+
+        cls = type(self)
+        nested_names = {
+            n for n, f in cls.__fields__.items() if getattr(f, "_nested", None)
+        }
+        scalars = {k: v for k, v in data.items() if k not in nested_names}
+        errs = list(cls.validator().validate(scalars).errors)
+        hydrated: Dict[str, Any] = {}
+        for fname, fdef in cls.__fields__.items():
+            nested = getattr(fdef, "_nested", None)
+            if nested is None:
+                continue
+            kind, mcls = nested
+            v = data.get(fname)
+            if v is None:
+                if fdef._spec.required and fname not in data:
+                    errs.append(
+                        ValidationError(
+                            fname, "required field missing", constraint="required"
+                        )
+                    )
+                elif fdef._spec.required:
+                    errs.append(
+                        ValidationError(
+                            fname, "required field is null", constraint="required"
+                        )
+                    )
+                else:
+                    hydrated[fname] = _default_value(fdef)
+                continue
+            if kind == "model":
+                hydrated[fname] = self._hydrate_one(fname, mcls, v, errs)
+            elif kind == "list_model":
+                if not isinstance(v, (list, tuple)):
+                    errs.append(
+                        ValidationError(
+                            fname,
+                            f"Expected list, got {type(v).__name__}",
+                            value=v,
+                            constraint="type",
+                        )
+                    )
+                    continue
+                s = fdef._spec
+                if s.min_items is not None and len(v) < s.min_items:
+                    errs.append(
+                        ValidationError(
+                            fname,
+                            f"min_items violated ({len(v)} < {s.min_items})",
+                            constraint="min_items",
+                        )
+                    )
+                if s.max_items is not None and len(v) > s.max_items:
+                    errs.append(
+                        ValidationError(
+                            fname,
+                            f"max_items violated ({len(v)} > {s.max_items})",
+                            constraint="max_items",
+                        )
+                    )
+                hydrated[fname] = [
+                    self._hydrate_one(f"{fname}[{i}]", mcls, el, errs)
+                    for i, el in enumerate(v)
+                ]
+            elif kind == "dict_model":
+                if not isinstance(v, dict):
+                    errs.append(
+                        ValidationError(
+                            fname,
+                            f"Expected dict, got {type(v).__name__}",
+                            value=v,
+                            constraint="type",
+                        )
+                    )
+                    continue
+                hydrated[fname] = {
+                    k: self._hydrate_one(f"{fname}.{k}", mcls, el, errs)
+                    for k, el in v.items()
+                }
         if errs:
             raise ModelValidationError(errs)
-        self._data = {
-            n: data.get(n, f.default) for n, f in type(self).__fields__.items()
-        }
+        self._data = {}
+        for n, f in cls.__fields__.items():
+            if n in hydrated:
+                self._data[n] = hydrated[n]
+            elif n in data:
+                self._data[n] = data[n]
+            else:
+                self._data[n] = _default_value(f)
+
+    @staticmethod
+    def _hydrate_one(path: str, mcls: type, v: Any, errs: list):
+        from .compat import ValidationError
+
+        if isinstance(v, mcls):
+            return v
+        if isinstance(v, dict):
+            try:
+                return mcls(**v)
+            except ModelValidationError as e:
+                errs.extend(_prefix_errors(path, e.errors))
+                return None
+        errs.append(
+            ValidationError(
+                path,
+                f"Expected {mcls.__name__} or dict, got {type(v).__name__}",
+                value=v,
+                constraint="type",
+            )
+        )
+        return None
 
     def __getattr__(self, item: str) -> Any:
         d = self.__dict__.get("_data") or {}
@@ -230,10 +459,13 @@ class Model(metaclass=ModelMeta):
     # --- class-level spec / validator (compiled once, cached) ---------
     @classmethod
     def spec(cls) -> TableSpec:
-        return TableSpec(
-            name=cls.__name__.lower(),
-            fields=tuple(f._spec for f in cls.__fields__.values()),
-        )
+        """TableSpec including flattened nested-model dotted paths —
+        the same declaration drives the DataFrame kernels."""
+        out = []
+        for f in cls.__fields__.values():
+            out.append(f._spec)
+            out.extend(getattr(f, "_extra_specs", ()))
+        return TableSpec(name=cls.__name__.lower(), fields=tuple(out))
 
     @classmethod
     def validator(cls, spark=None):
@@ -245,6 +477,8 @@ class Model(metaclass=ModelMeta):
         if v is None:
             v = StreamValidator(spark)
             for fname, fdef in cls.__fields__.items():
+                if getattr(fdef, "_nested", None):
+                    continue  # nested models validate recursively
                 s = fdef._spec
                 kw = {}
                 for k in _FIELD_KWARGS:
@@ -294,7 +528,11 @@ class Model(metaclass=ModelMeta):
         spec = cls.spec()
         out = df
         for f in spec.fields:
-            if f.name not in df.columns:  # missing key ≡ null (§2.2)
+            # fill only missing TOP-LEVEL columns (dotted names are
+            # struct paths INSIDE a filled/present parent column — a
+            # withColumn would create a literal column with a dot in
+            # its name and shadow the struct path)
+            if "." not in f.name and f.name not in df.columns:
                 out = out.withColumn(f.name, F.lit(None).cast(spark_type(f.dtype)))
         return compile_spec(spec).with_validation(out)
 
@@ -307,6 +545,15 @@ class Model(metaclass=ModelMeta):
         by_alias: bool = False,
         exclude_none: bool = False,
     ) -> Dict[str, Any]:
+        def _dump(v):
+            if isinstance(v, Model):
+                return v.model_dump()
+            if isinstance(v, (list, tuple)):
+                return [_dump(x) for x in v]
+            if isinstance(v, dict):
+                return {k: _dump(x) for k, x in v.items()}
+            return v
+
         out = {}
         for n, f in type(self).__fields__.items():
             if include is not None and n not in include:
@@ -317,7 +564,7 @@ class Model(metaclass=ModelMeta):
             if exclude_none and v is None:
                 continue
             key = f._spec.alias if (by_alias and f._spec.alias) else n
-            out[key] = v
+            out[key] = _dump(v)
         return out
 
     def model_dump_json(self, **kw: Any) -> str:

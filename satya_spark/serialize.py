@@ -34,6 +34,8 @@ def dump(
         raise KeyError(f"unknown fields in include/exclude: {sorted(unknown)}")
     cols = []
     for f in spec.fields:
+        if "." in f.name:
+            continue  # struct paths ride inside their parent column
         if include is not None and f.name not in include:
             continue
         if f.name in exclude:

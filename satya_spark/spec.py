@@ -62,9 +62,9 @@ SECRET_MASK = "**********"
 @dataclass(frozen=True)
 class FieldSpec:
     """One column's constraint set. Mirrors satya ``Field`` kwargs
-    (``src/satya/__init__.py:94-171``); unsupported-in-columnar kwargs
-    (default_factory, alias, secret types) are intentionally absent —
-    see SURVEY.md §2.2.
+    (``src/satya/__init__.py:94-171``), including ``alias``, ``secret``
+    and ``default_factory`` (per-record on the Model/compat path,
+    compile-time literal on the columnar path — see the field comment).
     """
 
     name: str
@@ -93,6 +93,16 @@ class FieldSpec:
     max_items: Optional[int] = None
     unique_items: bool = False
 
+    # per-element STRUCT rules for array<struct<...>> / map<_,struct>
+    # columns — the List[Model] / Dict[str, Model] composition surface
+    # (reference src/satya/validator.py:310-374): each entry is a
+    # FieldSpec whose name is the (possibly dotted) path INSIDE the
+    # element struct and whose scalar constraints apply to every
+    # element's value at that path. Containers nested inside an
+    # element support min/max_items + unique_items only (deeper
+    # per-element rules are not columnar-expressible in one pass).
+    item_fields: Optional[Tuple["FieldSpec", ...]] = None
+
     # table-level extension (north rule): max tolerated null fraction
     max_null_rate: Optional[float] = None
 
@@ -105,6 +115,18 @@ class FieldSpec:
     # default applied to missing/null optionals in coercion mode
     # (src/satya/__init__.py:369-381)
     default: Any = None
+
+    # default_factory (src/satya/__init__.py:369-381): on the
+    # Model/compat path the factory runs PER RECORD (mutable defaults
+    # are isolated — reference tests/test_edge_cases.py:46-64); on the
+    # columnar DataFrame path a per-record factory is meaningless
+    # (columns have no object identity), so it is evaluated ONCE at
+    # coercion-compile time and the result used as the fill literal —
+    # the documented columnar stance. compare=False keeps the frozen
+    # dataclass hashable.
+    default_factory: Optional[Callable[[], Any]] = dc_field(
+        default=None, compare=False
+    )
 
     # output rename on dump (src/satya/__init__.py:129, 774-776)
     alias: Optional[str] = None

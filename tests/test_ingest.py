@@ -186,3 +186,76 @@ def test_row_rule(spark):
     assert [(v["field"], v["constraint_name"]) for v in rows[1]["violations"]] == [
         ("<row>", "lo_le_hi")
     ]
+
+
+def test_json_schema_nested_objects(spark):
+    """Nested JSON Schema → struct columns + per-element struct rules
+    (the nested-Model surface reached from a schema file), and the
+    inverse direction reproduces the nested structure."""
+    schema = {
+        "title": "orders",
+        "type": "object",
+        "properties": {
+            "order_id": {"type": "integer", "minimum": 1},
+            "customer": {
+                "type": "object",
+                "properties": {
+                    "name": {"type": "string", "minLength": 2},
+                    "zipcode": {"type": "string", "pattern": r"^\d{5}$"},
+                },
+                "required": ["name"],
+            },
+            "items": {
+                "type": "array",
+                "minItems": 1,
+                "items": {
+                    "type": "object",
+                    "properties": {
+                        "sku": {"type": "string", "minLength": 3},
+                        "qty": {"type": "integer", "minimum": 1},
+                    },
+                    "required": ["sku"],
+                },
+            },
+            "labels": {
+                "type": "array",
+                "items": {"type": "string", "pattern": "^[a-z]+$"},
+            },
+        },
+        "required": ["order_id", "customer"],
+    }
+    spec = from_json_schema(schema)
+    assert spec.field("customer").dtype.startswith("struct<")
+    assert spec.field("customer.name").min_length == 2
+    assert spec.field("items").item_fields is not None
+    assert spec.field("labels").pattern == "^[a-z]+$"  # per-item kernel
+
+    df = spark.createDataFrame(
+        [
+            (1, ("Ann", "12345"), [("SKU99", 2)], ["ok"]),
+            (2, ("B", "12x45"), [("ab", 0)], ["Nope"]),
+            (3, (None, None), [], None),
+        ],
+        "order_id long, customer struct<name:string,zipcode:string>, "
+        "items array<struct<sku:string,qty:bigint>>, labels array<string>",
+    )
+    rows = compile_spec(spec).with_validation(df).collect()
+    assert rows[0]["valid"]
+    v2 = {(v["field"], v["constraint_name"]) for v in rows[1]["violations"]}
+    assert v2 == {
+        ("customer.name", "min_length"),
+        ("customer.zipcode", "pattern"),
+        ("items[].sku", "min_length"),
+        ("items[].qty", "ge"),
+        ("labels", "pattern"),
+    }
+    v3 = {(v["field"], v["constraint_name"]) for v in rows[2]["violations"]}
+    assert v3 == {("customer.name", "required"), ("items", "min_items")}
+
+    back = to_json_schema(spec)
+    assert back["properties"]["customer"]["properties"]["name"]["minLength"] == 2
+    assert back["properties"]["items"]["items"]["properties"]["sku"]["minLength"] == 3
+    assert back["properties"]["items"]["minItems"] == 1
+    assert back["properties"]["labels"]["items"]["pattern"] == "^[a-z]+$"
+    # round trip is stable
+    assert from_json_schema(back) == spec

@@ -245,3 +245,115 @@ def test_int_item_kernels_match_python_oracle(spark, f, values):
     got = _spark_verdicts(spark, f, values, T.ArrayType(T.LongType(), True))
     want = [sorted(py_validate_items(f, v)) for v in values]
     assert got == want, f"spec={f} values={values}"
+
+
+# --- per-element STRUCT kernels (round 3: List[Model] surface) -------------
+
+def py_validate_struct_items(inner: FieldSpec, arr):
+    """Pure-Python oracle for array<struct<s:string>> with
+    item_fields=(inner,): null elements skip; null leaf fires only
+    'required'; non-null leaves get the scalar string rules."""
+    if arr is None:
+        return []
+    out = set()
+    for el in arr:
+        if el is None:
+            continue
+        v = el[0]
+        if v is None:
+            if inner.required:
+                out.add("required")
+            continue
+        out.update(py_validate_str(inner, v))
+    return sorted(out)
+
+
+struct_inner_field = st.builds(
+    lambda req, mn, mx, pat, en: FieldSpec(
+        "s",
+        "string",
+        required=req,
+        min_length=mn,
+        max_length=mx,
+        pattern=pat,
+        enum=en,
+    ),
+    st.booleans(),
+    st.one_of(st.none(), st.integers(0, 4)),
+    st.one_of(st.none(), st.integers(2, 10)),
+    st.one_of(st.none(), st.sampled_from(PATTERNS)),
+    st.one_of(st.none(), st.sampled_from(ENUMS)),
+)
+
+struct_arrays = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.tuples(
+                    st.one_of(
+                        st.none(),
+                        st.text(
+                            alphabet="abz059 \t", min_size=0, max_size=8
+                        ),
+                    )
+                ),
+            ),
+            max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(inner=struct_inner_field, values=struct_arrays)
+def test_struct_item_kernels_match_python_and_duckdb(spark, inner, values):
+    """Triple-differential: Spark struct-element kernels vs the pure
+    Python oracle AND vs the generated DuckDB SQL twin."""
+    import duckdb
+
+    f = FieldSpec("arr", "array<struct<s:string>>", item_fields=(inner,))
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField(
+                "arr",
+                T.ArrayType(
+                    T.StructType([T.StructField("s", T.StringType(), True)]),
+                    True,
+                ),
+                True,
+            ),
+        ]
+    )
+    rows_in = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows_in, schema)
+    compiled = compile_spec(TableSpec(name="p", fields=(f,)))
+    out = compiled.with_validation(df).collect()
+    got = {
+        r["i"]: sorted({x["constraint_name"] for x in r["violations"]})
+        for r in out
+    }
+    want = {i: py_validate_struct_items(inner, v) for i, v in enumerate(values)}
+    assert got == want, f"inner={inner} values={values}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (i INT, arr STRUCT(s VARCHAR)[])")
+    con.executemany(
+        "INSERT INTO p VALUES (?, ?)",
+        [
+            (i, None if v is None else [None if el is None else {"s": el[0]} for el in v])
+            for i, v in enumerate(values)
+        ],
+    )
+    sql = compiled.violations_sql("p", ["i"])
+    duck = {}
+    if sql.strip():  # constraint-free spec compiles to zero kernels
+        for i, _field, cname, _off in con.execute(sql).fetchall():
+            duck.setdefault(i, set()).add(cname)
+    duck_sorted = {i: sorted(s) for i, s in duck.items()}
+    want_nonempty = {i: w for i, w in want.items() if w}
+    assert duck_sorted == want_nonempty, f"inner={inner} values={values}"
