@@ -474,6 +474,23 @@ def q_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, cents, k=5, nprobe=2)
 
 
+def q_ann_ivf_pruned_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned IVF (nprobe=2 of 8 stride-centroid lists) on the ARROW
+    path — the exact production configuration (real pruning + numpy
+    assignment/probe), against the same fully-SQL pruned oracle as the
+    expr variant: both impls round cosines to 6 decimals and share the
+    assignment (smallest-idx) / probe (largest-idx) tie-breaks, and
+    iters=0 stride centroids are impl-independent."""
+    from satya_spark.functions.similarity import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=0)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, cents, k=5, nprobe=2, impl="arrow")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-band sign-sketch LSH
     (4 bands × 6 planes) over embeddings + planted exact-dup vectors;
@@ -656,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_topk": q_ann_ivf_topk,
             "ann_ivf_pruned": q_ann_ivf_pruned,
             "ann_ivf_arrow": q_ann_ivf_arrow,
+            "ann_ivf_pruned_arrow": q_ann_ivf_pruned_arrow,
             "dedup_embedding": q_dedup_embedding,
             "dedup_embedding_expr": q_dedup_embedding_expr,
             "media_features": q_media_features,
@@ -794,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_topk"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
     out["ann_ivf_pruned"] = _ivf_pruned_oracle()
     out["ann_ivf_arrow"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
+    out["ann_ivf_pruned_arrow"] = _ivf_pruned_oracle()
     out["dedup_embedding"] = _embdup_oracle()
     out["dedup_embedding_expr"] = _embdup_oracle()
     out["media_features"] = _media_oracle()

@@ -501,6 +501,14 @@ class Model(metaclass=ModelMeta):
             cls._validator_instance = v
         return v
 
+    @classmethod
+    def model_json_schema(cls) -> Dict[str, Any]:
+        """JSON Schema for this Model, nested structure included
+        (reference ``src/satya/__init__.py:882-918``)."""
+        from .spec_json import to_json_schema
+
+        return to_json_schema(cls.spec())
+
     # --- validation entry points (src/satya/__init__.py:607-731) ------
     @classmethod
     def model_validate(cls, data: Dict[str, Any]) -> "Model":

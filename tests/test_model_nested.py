@@ -275,3 +275,25 @@ def test_validate_df_dict_of_models_matches_duckdb(spark):
         ("archive[].config.learning_rate", "le"),
         ("archive[].generation", "ge"),
     }
+
+
+def test_model_json_schema_includes_nesting():
+    """model_json_schema (src/satya/__init__.py:882-918) emits the
+    nested structure; feeding it back through from_json_schema yields
+    an equivalent validating spec."""
+    from satya_spark.spec_json import from_json_schema
+
+    js = Person.model_json_schema()
+    assert js["properties"]["address"]["properties"]["street"]["minLength"] == 5
+    assert js["properties"]["address"]["properties"]["zipcode"]["pattern"] == r"^\d{5}$"
+    assert "name" in js["required"] and "address" in js["required"]
+
+    js2 = Post.model_json_schema()
+    assert js2["properties"]["tags"]["minItems"] == 1
+    assert js2["properties"]["tags"]["items"]["properties"]["color"]["enum"] == [
+        "red", "blue", "green",
+    ]
+
+    spec = from_json_schema(js)
+    assert spec.field("address.street").min_length == 5
+    assert spec.field("address").dtype.startswith("struct<")
