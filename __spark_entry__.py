@@ -385,6 +385,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs_from_testdata(spark, sf_dir), threshold=0.6)
 
 
+def q_dedup_minhash_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION banding knob demonstrated: same k=8 signature,
+    bands=2 → 4-row bands. Collision probability per band is s^4
+    instead of s^2, so low-similarity false candidates collapse (the
+    dominant cost on a duplicate-heavy corpus is the per-candidate
+    token-set verify — see BENCH.md); recall at the 0.6 threshold
+    drops only for borderline pairs, and the verify step keeps
+    precision exact. Fully oracled like the default config."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        docs_from_testdata(spark, sf_dir), threshold=0.6, bands=2
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (explode + codegen'd bit sums)."""
     from satya_spark.docfix import docs_from_testdata
@@ -665,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": q_dedup_exact,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
+            "dedup_minhash_tight": q_dedup_minhash_tight,
             "dedup_simhash": q_dedup_simhash,
             "dedup_simhash_pairs": q_dedup_simhash_pairs,
             "ann_topk": q_ann_topk,
@@ -1017,7 +1034,7 @@ def _event_oracles() -> dict[str, str]:
 def _doc_oracles() -> dict[str, str]:
     from satya_spark.docfix import docs_with_clause
     from satya_spark.functions import text as tx
-    from satya_spark.functions.dedup import MINHASH_K, SIMHASH_BITS
+    from satya_spark.functions.dedup import MINHASH_BANDS, MINHASH_K, SIMHASH_BITS
 
     W = docs_with_clause()
     o: dict[str, str] = {}
@@ -1067,21 +1084,34 @@ def _doc_oracles() -> dict[str, str]:
         f"list_aggregate(list_transform(toks, x -> ('0x' || substring(md5('mh{i}:' || x), 1, 15))::BIGINT), 'min') AS mh{i}"
         for i in range(MINHASH_K)
     )
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(CAST(mh{2*b} AS VARCHAR) || ',' || CAST(mh{2*b+1} AS VARCHAR)) AS bucket FROM sig"
-        for b in range(MINHASH_K // 2)
-    )
-    o["dedup_minhash"] = W + (
-        f", t AS (SELECT doc_id, {toks_sql} AS toks FROM docs)"
-        f", sig AS (SELECT doc_id, toks, {mh_cols} FROM t)"
-        f", bb AS ({band_selects})"
-        ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bb a"
-        " JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) "
-        "SELECT id_a, id_b, jac FROM (SELECT id_a, id_b, "
-        + jac_sql.format(a="ta.toks", b="tb.toks")
-        + " AS jac FROM cand JOIN t ta ON ta.doc_id = id_a"
-        " JOIN t tb ON tb.doc_id = id_b) p WHERE jac >= 0.6"
-    )
+
+    def _minhash_sql(bands: int) -> str:
+        """SQL twin of minhash_dedup_pairs for any banding of the
+        k-row signature (rows_per_band = k // bands)."""
+        r = MINHASH_K // bands
+        band_selects = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+                b=b,
+                concat=" || ',' || ".join(
+                    f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)
+                ),
+            )
+            for b in range(bands)
+        )
+        return W + (
+            f", t AS (SELECT doc_id, {toks_sql} AS toks FROM docs)"
+            f", sig AS (SELECT doc_id, toks, {mh_cols} FROM t)"
+            f", bb AS ({band_selects})"
+            ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bb a"
+            " JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, jac FROM (SELECT id_a, id_b, "
+            + jac_sql.format(a="ta.toks", b="tb.toks")
+            + " AS jac FROM cand JOIN t ta ON ta.doc_id = id_a"
+            " JOIN t tb ON tb.doc_id = id_b) p WHERE jac >= 0.6"
+        )
+
+    o["dedup_minhash"] = _minhash_sql(MINHASH_BANDS)
+    o["dedup_minhash_tight"] = _minhash_sql(2)
     bit_sums = ", ".join(
         f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
     )

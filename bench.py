@@ -65,6 +65,7 @@ HEADLINE = [
 # serialization, not the dedup join
 DEDUP_HEADLINE = [
     "dedup_minhash",
+    "dedup_minhash_tight",  # production banding: 2×4-row bands
     "dedup_simhash_pairs",
     "dedup_embedding",
     "ann_lsh_topk",

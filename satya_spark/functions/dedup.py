@@ -211,11 +211,17 @@ def minhash_dedup_pairs(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """LSH candidates verified with true token-set Jaccard — the
     scalable near-dup pipeline (candidates are a tiny fraction of
-    n²; verification joins token sets back by id)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col)
+    n²; verification joins token sets back by id). ``k``/``bands``
+    are the recall/cost banding knob: per-band collision probability
+    is s^(k/bands), so fewer, wider bands collapse low-similarity
+    false candidates (the verify step's cost is linear in candidate
+    pairs) at the price of recall near the threshold."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands)
     toks = df.select(
         F.col(id_col),
         F.array_distinct(tokens_ws(F.col(text_col))).alias("toks"),

@@ -69,3 +69,23 @@ def test_drift_check_shapes(spark):
     out = eng.drift_check(a, b)
     assert abs(sum(r["psi_contrib"] for r in out["psi"].collect())) < 1e-6
     assert out["ks"].collect()[0]["ks_stat"] < 1e-9
+
+
+def test_shard_verdicts_count_path_equals_array_path(spark):
+    """The count-only fast path (pure integer sum of fail predicates,
+    round 3) must agree exactly with the violations-array path used
+    for annotate()d frames — including the per-row cap semantics."""
+    from pyspark.sql import functions as F
+
+    from satya_spark.spec import transcript_spec
+    from satya_spark.transcripts import synthesize
+
+    df = synthesize(spark, n_conv=400)
+    eng = ValidationEngine(transcript_spec(), n_shards=16)
+    fast = sorted(
+        tuple(r) for r in eng.shard_verdicts(df).collect()
+    )  # raw frame → count path
+    slow = sorted(
+        tuple(r) for r in eng.shard_verdicts(eng.annotate(df)).collect()
+    )  # annotated frame → array path
+    assert fast == slow
