@@ -386,6 +386,12 @@ def compile_field(f: FieldSpec) -> List[CompiledRule]:
         )
     if f.pattern is not None and not (is_array or is_map):
         p = f.pattern
+        # NB: rlike stays — a substring/translate specialization of
+        # linear char-class patterns was measured SLOWER (0.58 s vs
+        # 0.42 s on 3.4 M rows for the two flagship patterns):
+        # java.util.regex is already cheap on short anchored
+        # non-backtracking patterns, and the specialized form pays
+        # more UTF8String allocations. See BENCH.md "negative results".
         add(
             "pattern",
             lambda p=p: FN().col(name).rlike(p),
