@@ -224,7 +224,9 @@ class ModelValidationError(Exception):
 class ModelMeta(type):
     def __new__(mcs, name, bases, ns):
         own_names = [
-            n for n in ns.get("__annotations__", {}) if not n.startswith("_")
+            n
+            for n in ns.get("__annotations__", {})
+            if not n.startswith("_") and n != "model_config"
         ]
         defs = {n: ns.pop(n, Field()) for n in own_names}
         ns["_validator_instance"] = None
@@ -331,16 +333,34 @@ class Model(metaclass=ModelMeta):
     struct kernels on the ``validate_df`` scale path."""
 
     __fields__: Dict[str, Field] = {}
+    # reference model_config (src/satya/__init__.py:271-276):
+    # extra: 'ignore' | 'allow' | 'forbid'; frozen: bool.
+    # NB: deliberately UNANNOTATED — the metaclass collects annotated
+    # names as fields
+    model_config = {}
 
     def __init__(self, **data: Any):
         from .compat import ValidationError
 
         cls = type(self)
+        config = getattr(cls, "model_config", {}) or {}
         nested_names = {
             n for n, f in cls.__fields__.items() if getattr(f, "_nested", None)
         }
-        scalars = {k: v for k, v in data.items() if k not in nested_names}
+        extras = [k for k in data if k not in cls.__fields__]
+        scalars = {
+            k: v
+            for k, v in data.items()
+            if k not in nested_names and k in cls.__fields__
+        }
         errs = list(cls.validator().validate(scalars).errors)
+        if config.get("extra", "ignore") == "forbid" and extras:
+            errs.extend(
+                ValidationError(
+                    k, "extra fields not permitted", constraint="extra_field"
+                )
+                for k in extras
+            )
         hydrated: Dict[str, Any] = {}
         for fname, fdef in cls.__fields__.items():
             nested = getattr(fdef, "_nested", None)
@@ -415,14 +435,31 @@ class Model(metaclass=ModelMeta):
                 }
         if errs:
             raise ModelValidationError(errs)
-        self._data = {}
+        d = {}
         for n, f in cls.__fields__.items():
             if n in hydrated:
-                self._data[n] = hydrated[n]
+                d[n] = hydrated[n]
             elif n in data:
-                self._data[n] = data[n]
+                d[n] = data[n]
             else:
-                self._data[n] = _default_value(f)
+                d[n] = _default_value(f)
+        if config.get("extra", "ignore") == "allow":
+            for k in extras:
+                d[k] = data[k]
+        object.__setattr__(self, "_data", d)
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        # frozen models reject assignment (model_config['frozen'],
+        # reference src/satya/__init__.py:492-495)
+        if (getattr(type(self), "model_config", {}) or {}).get("frozen", False):
+            raise ValueError(
+                f"'{type(self).__name__}' is frozen and does not support"
+                " item assignment"
+            )
+        if name != "_data" and name in getattr(self, "_data", {}):
+            self._data[name] = value
+            return
+        object.__setattr__(self, name, value)
 
     @staticmethod
     def _hydrate_one(path: str, mcls: type, v: Any, errs: list):
@@ -512,6 +549,8 @@ class Model(metaclass=ModelMeta):
     # --- validation entry points (src/satya/__init__.py:607-731) ------
     @classmethod
     def model_validate(cls, data: Dict[str, Any]) -> "Model":
+        if not isinstance(data, dict):
+            raise TypeError(f"Expected dict, got {type(data).__name__}")
         return cls(**data)
 
     @classmethod
@@ -521,6 +560,150 @@ class Model(metaclass=ModelMeta):
     @classmethod
     def model_validate_batch(cls, items: List[dict]) -> List[bool]:
         return cls.validator().validate_batch(items)
+
+    # Pydantic-v1-style + reference aliases (src/satya/__init__.py:
+    # 632, 668, 814-835): this engine's compiled-Column validator IS
+    # the fast path, so the *_fast/_nested variants share it.
+    @classmethod
+    def parse_obj(cls, obj: Dict[str, Any]) -> "Model":
+        return cls.model_validate(obj)
+
+    @classmethod
+    def parse_raw(cls, data: str) -> "Model":
+        return cls.model_validate_json(data)
+
+    @classmethod
+    def model_validate_fast(cls, data: Dict[str, Any]) -> "Model":
+        return cls.model_validate(data)
+
+    @classmethod
+    def model_validate_nested(cls, data: Dict[str, Any]) -> "Model":
+        return cls.model_validate(data)  # nesting is the default here
+
+    @classmethod
+    def validate_many(cls, data_list: List[dict]) -> List["Model"]:
+        """Validate many records; raises on the first invalid one
+        (reference validate_many, src/satya/__init__.py:668-703 —
+        there hydrating 'FastModel' slots; here ordinary instances.
+        The true batch path is ``validate_df``.)"""
+        return [cls(**d) for d in data_list]
+
+    # --- JSON-bytes APIs (src/satya/__init__.py:705-731) ---------------
+    @classmethod
+    def model_validate_json_bytes(
+        cls, data: Union[str, bytes], *, streaming: bool = True
+    ) -> "Model":
+        py = json.loads(data)
+        if not isinstance(py, dict):
+            from .compat import ValidationError
+
+            raise ModelValidationError(
+                [ValidationError("root", "JSON must represent an object")]
+            )
+        return cls(**py)
+
+    @classmethod
+    def model_validate_json_array_bytes(
+        cls, data: Union[str, bytes], *, streaming: bool = True
+    ) -> List[bool]:
+        py = json.loads(data)
+        if not isinstance(py, list):
+            return [False]
+        out = []
+        for item in py:
+            if not isinstance(item, dict):
+                out.append(False)
+                continue
+            try:
+                cls(**item)
+                out.append(True)
+            except ModelValidationError:
+                out.append(False)
+        return out
+
+    @classmethod
+    def model_validate_ndjson_bytes(
+        cls, data: Union[str, bytes], *, streaming: bool = True
+    ) -> List[bool]:
+        text = data.decode() if isinstance(data, bytes) else data
+        out = []
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            try:
+                py = json.loads(line)
+                if not isinstance(py, dict):
+                    out.append(False)
+                    continue
+                cls(**py)
+                out.append(True)
+            except (ModelValidationError, ValueError):
+                out.append(False)
+        return out
+
+    # --- construct / copy (src/satya/__init__.py:796-880) --------------
+    @classmethod
+    def model_construct(cls, **data: Any) -> "Model":
+        """Construct WITHOUT validation (Pydantic-like). Nested Model
+        fields hydrate best-effort from dicts; model_config['extra']
+        honored ('allow' stores extras, 'forbid' raises)."""
+        from .compat import ValidationError
+
+        self = object.__new__(cls)
+        config = getattr(cls, "model_config", {}) or {}
+        d: Dict[str, Any] = {}
+        for n, fdef in cls.__fields__.items():
+            value = data.get(n, _default_value(fdef))
+            nested = getattr(fdef, "_nested", None)
+            try:
+                if nested is not None and value is not None:
+                    kind, mcls = nested
+                    if kind == "model" and isinstance(value, dict):
+                        value = mcls(**value)
+                    elif kind == "list_model" and isinstance(value, list):
+                        value = [
+                            mcls(**v) if isinstance(v, dict) else v for v in value
+                        ]
+                    elif kind == "dict_model" and isinstance(value, dict):
+                        value = {
+                            k: mcls(**v) if isinstance(v, dict) else v
+                            for k, v in value.items()
+                        }
+            except ModelValidationError:
+                pass  # best-effort construction; leave value as-is
+            d[n] = value
+        extras = [k for k in data if k not in cls.__fields__]
+        if config.get("extra", "ignore") == "allow":
+            for k in extras:
+                d[k] = data[k]
+        elif config.get("extra", "ignore") == "forbid" and extras:
+            raise ModelValidationError(
+                [
+                    ValidationError(
+                        k, "extra fields not permitted", constraint="extra_field"
+                    )
+                    for k in extras
+                ]
+            )
+        object.__setattr__(self, "_data", d)
+        return self
+
+    def model_copy(
+        self, *, update: Optional[Dict[str, Any]] = None, deep: bool = False
+    ) -> "Model":
+        """Copy, optionally updating fields (re-validates via
+        __init__, like the reference's ``self.__class__(**data)``)."""
+        import copy as _copy
+
+        data = _copy.deepcopy(self._data) if deep else dict(self._data)
+        if update:
+            data.update(update)
+        # nested Model instances re-enter __init__ as instances (ok)
+        return type(self)(**data)
+
+    def dict(self) -> Dict[str, Any]:
+        """Pydantic-v1 alias (reference src/satya/__init__.py:601-603)."""
+        return dict(self._data)
 
     # --- the scale path -------------------------------------------------
     @classmethod

@@ -123,3 +123,66 @@ def test_model_rejects_non_optional_unions(spark):
     with pytest.raises(TypeError, match="unsupported Model annotation"):
         class Bad(Model):
             v: int | str
+
+
+# --- facade tail: config modes, construct/copy, JSON-bytes APIs ------------
+
+def test_model_config_extra_modes(spark):
+    class Loose(Model):
+        model_config = {"extra": "allow"}
+        name: str = Field(min_length=2)
+
+    class Strict(Model):
+        model_config = {"extra": "forbid"}
+        name: str = Field(min_length=2)
+
+    Loose.validator(spark)
+    Strict.validator(spark)
+    m = Loose(name="Ada", nickname="A.")
+    assert m.nickname == "A." and m.dict()["nickname"] == "A."
+    with pytest.raises(ModelValidationError) as ei:
+        Strict(name="Ada", nickname="A.")
+    assert any(e.constraint == "extra_field" for e in ei.value.errors)
+
+
+def test_model_frozen(spark):
+    class Frozen(Model):
+        model_config = {"frozen": True}
+        name: str = Field(min_length=2)
+
+    Frozen.validator(spark)
+    m = Frozen(name="Ada")
+    with pytest.raises(ValueError):
+        m.name = "Bob"
+
+
+def test_model_construct_skips_validation(spark):
+    # invalid data passes through unvalidated (Pydantic semantics)
+    m = User.model_construct(name="x", age=-5)
+    assert m.name == "x" and m.age == -5
+
+
+def test_model_copy_and_aliases(spark):
+    u = User(name="Ada", age=36)
+    v = u.model_copy(update={"age": 37})
+    assert v.age == 37 and u.age == 36
+    with pytest.raises(ModelValidationError):
+        u.model_copy(update={"age": 0})  # copy re-validates
+    assert User.parse_obj({"name": "Ada", "age": 1}).age == 1
+    assert User.parse_raw('{"name": "Ada", "age": 2}').age == 2
+    assert User.model_validate_fast({"name": "Ada", "age": 3}).age == 3
+    many = User.validate_many([{"name": "Ada", "age": 4}, {"name": "Bo", "age": 5}])
+    assert [m.age for m in many] == [4, 5]
+
+
+def test_model_json_bytes_apis(spark):
+    m = User.model_validate_json_bytes(b'{"name": "Ada", "age": 36}')
+    assert m.age == 36
+    assert User.model_validate_json_array_bytes(
+        b'[{"name": "Ada", "age": 36}, {"name": "x", "age": 0}, 5]'
+    ) == [True, False, False]
+    assert User.model_validate_ndjson_bytes(
+        b'{"name": "Ada", "age": 36}\nnot json\n{"name": "x", "age": 0}\n'
+    ) == [True, False, False]
+    with pytest.raises(ModelValidationError):
+        User.model_validate_json_bytes(b"[1,2]")
