@@ -541,10 +541,27 @@ class Model(metaclass=ModelMeta):
     @classmethod
     def model_json_schema(cls) -> Dict[str, Any]:
         """JSON Schema for this Model, nested structure included
-        (reference ``src/satya/__init__.py:882-918``)."""
+        (reference ``src/satya/__init__.py:882-918``);
+        model_config['extra'] maps to additionalProperties."""
         from .spec_json import to_json_schema
 
-        return to_json_schema(cls.spec())
+        out = to_json_schema(cls.spec())
+        extra = (getattr(cls, "model_config", {}) or {}).get("extra", "ignore")
+        if extra == "forbid":
+            out["additionalProperties"] = False
+        elif extra == "allow":
+            out["additionalProperties"] = True
+        return out
+
+    @classmethod
+    def json_schema(cls) -> Dict[str, Any]:
+        """Reference alias (src/satya/__init__.py json_schema)."""
+        return cls.model_json_schema()
+
+    @classmethod
+    def schema(cls) -> Dict[str, Any]:
+        """Pydantic-v1 alias."""
+        return cls.model_json_schema()
 
     # --- validation entry points (src/satya/__init__.py:607-731) ------
     @classmethod

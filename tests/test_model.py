@@ -186,3 +186,13 @@ def test_model_json_bytes_apis(spark):
     ) == [True, False, False]
     with pytest.raises(ModelValidationError):
         User.model_validate_json_bytes(b"[1,2]")
+
+
+def test_schema_aliases_and_extra_mapping(spark):
+    class Strict2(Model):
+        model_config = {"extra": "forbid"}
+        name: str = Field(min_length=2)
+
+    js = Strict2.model_json_schema()
+    assert js["additionalProperties"] is False
+    assert Strict2.json_schema() == js and Strict2.schema() == js
