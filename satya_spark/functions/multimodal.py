@@ -104,6 +104,52 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Image-resize plumbing (Arrow-batched mapInPandas). The real
+    resampler (PIL/libvips) is not in this container; the stand-in
+    treats the payload as a (width×height) byte grid and
+    nearest-neighbor-samples it to (out_w × out_h) bytes — a
+    deterministic pure-bytes transform with the exact signature,
+    batch shape, and schema a real decoder+resize drops into. Only
+    image rows flow; the thumb (out_w·out_h bytes) is what continues
+    down the pipeline, never the original blob."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "out_w": [], "out_h": [], "thumb": []}
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                rows["media_id"].append(mid)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                if payload is None or not w or not h:
+                    rows["thumb"].append(None)
+                    continue
+                w, h = int(w), int(h)
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                grid = np.resize(buf, (h, w))  # fake decode: byte grid
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                rows["thumb"].append(grid[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height", "payload"
+    ).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, ts_ms) to
     decode — the explode happens on metadata only (cheap, codegen),

@@ -546,3 +546,24 @@ def test_ivf_arrow_wide_dims_matches_brute_force(spark):
         ivf_topk(emb, queries, cents, k=5, nprobe=16, impl="arrow").collect()
     )
     assert ivf == bf and len(ivf) == 25
+
+
+def test_resize_images_plumbing(spark):
+    """Deterministic fake resize: image rows only, (out_w*out_h)-byte
+    thumbs, stable across runs, nulls pass through; the original blob
+    never appears in the output schema."""
+    media = mm.synthesize_media(spark, 30)
+    out = mm.resize_images(media, out_w=4, out_h=3)
+    assert set(out.columns) == {"media_id", "out_w", "out_h", "thumb"}
+    rows = {r["media_id"]: r for r in out.collect()}
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    for r in rows.values():
+        assert r["out_w"] == 4 and r["out_h"] == 3
+        assert r["thumb"] is not None and len(r["thumb"]) == 12
+    again = {r["media_id"]: bytes(r["thumb"]) for r in
+             mm.resize_images(media, out_w=4, out_h=3).collect()}
+    assert {k: bytes(v["thumb"]) for k, v in rows.items()} == again
+    # plan: Arrow-batched python (MapInPandas), no blob past it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
