@@ -357,3 +357,94 @@ def test_struct_item_kernels_match_python_and_duckdb(spark, inner, values):
     duck_sorted = {i: sorted(s) for i, s in duck.items()}
     want_nonempty = {i: w for i, w in want.items() if w}
     assert duck_sorted == want_nonempty, f"inner={inner} values={values}"
+
+
+def py_validate_struct_num_items(inner: FieldSpec, arr):
+    if arr is None:
+        return []
+    out = set()
+    for el in arr:
+        if el is None:
+            continue
+        v = el[0]
+        if v is None:
+            if inner.required:
+                out.add("required")
+            continue
+        out.update(py_validate_num(inner, v))
+    return sorted(out)
+
+
+struct_num_inner = st.builds(
+    lambda req, ge, le, gt, m: FieldSpec(
+        "n", "long", required=req, ge=ge, le=le, gt=gt, multiple_of=m
+    ),
+    st.booleans(),
+    st.one_of(st.none(), st.integers(-5, 5)),
+    st.one_of(st.none(), st.integers(-5, 60)),
+    st.one_of(st.none(), st.integers(-5, 5)),
+    st.one_of(st.none(), st.sampled_from([2, 7])),
+)
+
+struct_num_arrays = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.tuples(st.one_of(st.none(), st.integers(-10, 70))),
+            ),
+            max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(inner=struct_num_inner, values=struct_num_arrays)
+def test_numeric_struct_item_kernels_match_python_and_duckdb(spark, inner, values):
+    import duckdb
+
+    f = FieldSpec("arr", "array<struct<n:bigint>>", item_fields=(inner,))
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField(
+                "arr",
+                T.ArrayType(
+                    T.StructType([T.StructField("n", T.LongType(), True)]), True
+                ),
+                True,
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], schema)
+    compiled = compile_spec(TableSpec(name="p", fields=(f,)))
+    got = {
+        r["i"]: sorted({x["constraint_name"] for x in r["violations"]})
+        for r in compiled.with_validation(df).collect()
+    }
+    want = {
+        i: py_validate_struct_num_items(inner, v) for i, v in enumerate(values)
+    }
+    assert got == want, f"inner={inner} values={values}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (i INT, arr STRUCT(n BIGINT)[])")
+    con.executemany(
+        "INSERT INTO p VALUES (?, ?)",
+        [
+            (i, None if v is None else [None if el is None else {"n": el[0]} for el in v])
+            for i, v in enumerate(values)
+        ],
+    )
+    sql = compiled.violations_sql("p", ["i"])
+    duck = {}
+    if sql.strip():
+        for i, _f, cname, _off in con.execute(sql).fetchall():
+            duck.setdefault(i, set()).add(cname)
+    assert {i: sorted(s) for i, s in duck.items()} == {
+        i: w for i, w in want.items() if w
+    }, f"inner={inner} values={values}"
