@@ -448,3 +448,72 @@ def test_numeric_struct_item_kernels_match_python_and_duckdb(spark, inner, value
     assert {i: sorted(s) for i, s in duck.items()} == {
         i: w for i, w in want.items() if w
     }, f"inner={inner} values={values}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(inner=struct_inner_field, values=struct_arrays)
+def test_map_struct_value_kernels_match_python_and_duckdb(spark, inner, values):
+    """Dict[str, Model] analog: the same per-element struct kernels
+    over map VALUES — Spark vs Python oracle vs DuckDB twin. Reuses
+    the array corpora (values become map values keyed k0..kn)."""
+    import duckdb
+
+    f = FieldSpec(
+        "m", "map<string,struct<s:string>>", item_fields=(inner,)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField(
+                "m",
+                T.MapType(
+                    T.StringType(),
+                    T.StructType([T.StructField("s", T.StringType(), True)]),
+                    True,
+                ),
+                True,
+            ),
+        ]
+    )
+
+    def to_map(v):
+        if v is None:
+            return None
+        return {f"k{j}": el for j, el in enumerate(v)}
+
+    df = spark.createDataFrame(
+        [(i, to_map(v)) for i, v in enumerate(values)], schema
+    )
+    compiled = compile_spec(TableSpec(name="p", fields=(f,)))
+    got = {
+        r["i"]: sorted({x["constraint_name"] for x in r["violations"]})
+        for r in compiled.with_validation(df).collect()
+    }
+    want = {i: py_validate_struct_items(inner, v) for i, v in enumerate(values)}
+    assert got == want, f"inner={inner} values={values}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (i INT, m MAP(VARCHAR, STRUCT(s VARCHAR)))")
+    for i, v in enumerate(values):
+        if v is None:
+            # a bare NULL param can't infer the MAP type — cast it
+            con.execute(
+                "INSERT INTO p SELECT ?, CAST(NULL AS MAP(VARCHAR,"
+                " STRUCT(s VARCHAR)))",
+                [i],
+            )
+            continue
+        keys = [f"k{j}" for j in range(len(v))]
+        vals = [None if el is None else {"s": el[0]} for el in v]
+        con.execute(
+            "INSERT INTO p SELECT ?, MAP(?, CAST(? AS STRUCT(s VARCHAR)[]))",
+            [i, keys, vals],
+        )
+    sql = compiled.violations_sql("p", ["i"])
+    duck = {}
+    if sql.strip():
+        for i, _f, cname, _off in con.execute(sql).fetchall():
+            duck.setdefault(i, set()).add(cname)
+    assert {i: sorted(s) for i, s in duck.items()} == {
+        i: w for i, w in want.items() if w
+    }, f"inner={inner} values={values}"
