@@ -443,21 +443,48 @@ class Model(metaclass=ModelMeta):
                 d[n] = data[n]
             else:
                 d[n] = _default_value(f)
+        fields_set = set(data) & set(cls.__fields__)
         if config.get("extra", "ignore") == "allow":
             for k in extras:
                 d[k] = data[k]
+            fields_set |= set(extras)
         object.__setattr__(self, "_data", d)
+        object.__setattr__(self, "_fields_set", fields_set)
+
+    @property
+    def __fields_set__(self) -> set:
+        """Names explicitly provided at construction (Pydantic
+        parity; drives ``model_dump(exclude_unset=True)``)."""
+        return set(self.__dict__.get("_fields_set", ()))
 
     def __setattr__(self, name: str, value: Any) -> None:
+        config = getattr(type(self), "model_config", {}) or {}
         # frozen models reject assignment (model_config['frozen'],
         # reference src/satya/__init__.py:492-495)
-        if (getattr(type(self), "model_config", {}) or {}).get("frozen", False):
+        if config.get("frozen", False):
             raise ValueError(
                 f"'{type(self).__name__}' is frozen and does not support"
                 " item assignment"
             )
         if name != "_data" and name in getattr(self, "_data", {}):
+            # validate_assignment: run the field's compiled kernels on
+            # the new value (reference src/satya/__init__.py:496-530
+            # does an isinstance check; here the FULL constraint set
+            # applies — same engine as construction)
+            if (
+                config.get("validate_assignment", False)
+                and name in type(self).__fields__
+                and not getattr(type(self).__fields__[name], "_nested", None)
+            ):
+                errs = [
+                    e
+                    for e in type(self).validator().validate({name: value}).errors
+                    if e.field == name
+                ]
+                if errs:
+                    raise ModelValidationError(errs)
             self._data[name] = value
+            self.__dict__.setdefault("_fields_set", set()).add(name)
             return
         object.__setattr__(self, name, value)
 
@@ -703,6 +730,7 @@ class Model(metaclass=ModelMeta):
                 ]
             )
         object.__setattr__(self, "_data", d)
+        object.__setattr__(self, "_fields_set", set(data) & set(d))
         return self
 
     def model_copy(
@@ -752,6 +780,8 @@ class Model(metaclass=ModelMeta):
         exclude: Optional[set] = None,
         by_alias: bool = False,
         exclude_none: bool = False,
+        exclude_unset: bool = False,
+        exclude_defaults: bool = False,
     ) -> Dict[str, Any]:
         def _dump(v):
             if isinstance(v, Model):
@@ -770,6 +800,17 @@ class Model(metaclass=ModelMeta):
                 continue
             v = self._data.get(n)
             if exclude_none and v is None:
+                continue
+            # exclude_unset: only fields explicitly provided at
+            # construction (tracked in __fields_set__ — the reference's
+            # own check is vacuous, src/satya/__init__.py:759-761)
+            if exclude_unset and n not in self.__fields_set__:
+                continue
+            if (
+                exclude_defaults
+                and f.default is not None
+                and v == f.default
+            ):
                 continue
             key = f._spec.alias if (by_alias and f._spec.alias) else n
             out[key] = _dump(v)

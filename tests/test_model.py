@@ -196,3 +196,39 @@ def test_schema_aliases_and_extra_mapping(spark):
     js = Strict2.model_json_schema()
     assert js["additionalProperties"] is False
     assert Strict2.json_schema() == js and Strict2.schema() == js
+
+
+def test_exclude_unset_and_defaults(spark):
+    class D(Model):
+        name: str = Field(min_length=2)
+        status: str = Field(default="new", enum=("new", "done"))
+        note: Optional[str] = None
+
+    D.validator(spark)
+    m = D(name="Ada")
+    assert m.__fields_set__ == {"name"}
+    assert m.model_dump(exclude_unset=True) == {"name": "Ada"}
+    assert m.model_dump(exclude_defaults=True, exclude_none=True) == {
+        "name": "Ada"
+    }
+    m2 = D(name="Ada", status="new")  # explicitly set to the default
+    assert m2.model_dump(exclude_unset=True) == {"name": "Ada", "status": "new"}
+    assert m2.model_dump(exclude_defaults=True, exclude_none=True) == {
+        "name": "Ada"
+    }
+    m2.note = "hi"  # assignment marks the field as set
+    assert "note" in m2.__fields_set__
+
+
+def test_validate_assignment(spark):
+    class VA(Model):
+        model_config = {"validate_assignment": True}
+        name: str = Field(min_length=2)
+
+    VA.validator(spark)
+    m = VA(name="Ada")
+    m.name = "Bob"  # valid assignment passes
+    assert m.name == "Bob"
+    with pytest.raises(ModelValidationError):
+        m.name = "x"  # min_length kernel fires on assignment
+    assert m.name == "Bob"  # rejected assignment leaves value intact
