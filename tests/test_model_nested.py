@@ -297,3 +297,41 @@ def test_model_json_schema_includes_nesting():
     spec = from_json_schema(js)
     assert spec.field("address.street").min_length == 5
     assert spec.field("address").dtype.startswith("struct<")
+
+
+# module scope: under `from __future__ import annotations` the
+# metaclass resolves string annotations against the MODULE namespace,
+# so function-local Model classes can't reference each other (the
+# same constraint pydantic has)
+class Inner(Model):
+    x: int = Field(ge=0)
+
+
+class BaseM(Model):
+    inner: Inner
+
+
+class Child(BaseM):
+    extra_f: str = Field(min_length=1)
+
+
+def test_inherited_nested_model_fields(spark):
+    """Nested fields declared on a BASE class flow through inheritance:
+    the child's spec carries the flattened dotted paths and both
+    validation paths enforce them."""
+    Child.validator(spark)
+    c = Child(inner={"x": 1}, extra_f="a")
+    assert c.inner.x == 1 and c.__fields_set__ == {"inner", "extra_f"}
+    with pytest.raises(ModelValidationError):
+        Child(inner={"x": -1}, extra_f="a")
+    names = [f.name for f in Child.spec().fields]
+    assert "inner" in names and "inner.x" in names and "extra_f" in names
+    df = spark.createDataFrame(
+        [((0,), "a"), ((-3,), "b")],
+        "inner struct<x:bigint>, extra_f string",
+    )
+    rows = Child.validate_df(df).collect()
+    assert rows[0]["valid"] and not rows[1]["valid"]
+    assert [
+        (v["field"], v["constraint_name"]) for v in rows[1]["violations"]
+    ] == [("inner.x", "ge")]
