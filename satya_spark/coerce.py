@@ -70,6 +70,11 @@ def _columnar_default(f: FieldSpec):
     stance; the Model/compat path runs the factory per record).
     Non-literal-able factory products (dicts, objects) are skipped."""
     if f.default is not None:
+        # dict defaults (map/struct columns) are not F.lit-able — the
+        # spec keeps them (JSON-Schema round-trip) but the columnar
+        # fill skips them
+        if isinstance(f.default, dict):
+            return None
         return f.default
     if f.default_factory is not None:
         v = f.default_factory()

@@ -180,6 +180,12 @@ def lsh_candidate_pairs(
     """Candidate pairs sharing ≥1 LSH band bucket. Band bucket =
     md5 of the band's signature slice. One self-join per run, keyed
     by (band_idx, bucket) — the classic shuffle-bounded LSH join."""
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(
+            f"k ({k}) must be divisible by bands ({bands}); otherwise the"
+            " trailing signature rows would be silently ignored, changing"
+            " recall (simhash_pairs enforces the same for bits/chunks)"
+        )
     rows_per_band = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k)
     buckets = []

@@ -382,7 +382,12 @@ class Model(metaclass=ModelMeta):
                         )
                     )
                 else:
-                    hydrated[fname] = _default_value(fdef)
+                    # explicit None stays None for an optional nested
+                    # field (matches the scalar path and exclude_unset
+                    # semantics); only an ABSENT key takes the default
+                    hydrated[fname] = (
+                        None if fname in data else _default_value(fdef)
+                    )
                 continue
             if kind == "model":
                 hydrated[fname] = self._hydrate_one(fname, mcls, v, errs)
@@ -793,7 +798,14 @@ class Model(metaclass=ModelMeta):
             return v
 
         out = {}
-        for n, f in type(self).__fields__.items():
+        fields = type(self).__fields__
+        # iterate stored data (declared fields first, then any
+        # extra='allow' extras) so extras round-trip through dump —
+        # the reference iterates self._data too
+        # (src/satya/__init__.py:752+, 866-872)
+        names = list(fields) + [k for k in self._data if k not in fields]
+        for n in names:
+            f = fields.get(n)
             if include is not None and n not in include:
                 continue
             if exclude and n in exclude:
@@ -808,11 +820,15 @@ class Model(metaclass=ModelMeta):
                 continue
             if (
                 exclude_defaults
+                and f is not None
                 and f.default is not None
                 and v == f.default
             ):
                 continue
-            key = f._spec.alias if (by_alias and f._spec.alias) else n
+            key = (
+                f._spec.alias if (f is not None and by_alias and f._spec.alias)
+                else n
+            )
             out[key] = _dump(v)
         return out
 

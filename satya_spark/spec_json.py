@@ -117,6 +117,7 @@ def _prop_specs(fname: str, p: Dict[str, Any], required: bool) -> List[FieldSpec
                     dtype=f"map<string,{_struct_ddl(inner)}>",
                     required=required,
                     item_fields=tuple(inner),
+                    default=p.get("default"),
                 )
             ]
         return [
@@ -124,6 +125,7 @@ def _prop_specs(fname: str, p: Dict[str, Any], required: bool) -> List[FieldSpec
                 name=fname,
                 dtype=f"map<string,{_scalar_dtype(ap)}>",
                 required=required,
+                default=p.get("default"),
                 **_scalar_kwargs(ap),
             )
         ]
@@ -142,6 +144,7 @@ def _prop_specs(fname: str, p: Dict[str, Any], required: bool) -> List[FieldSpec
                     dtype=f"array<{_struct_ddl(inner)}>",
                     required=required,
                     item_fields=tuple(inner),
+                    default=p.get("default"),
                     **container,
                 )
             ]
@@ -150,6 +153,7 @@ def _prop_specs(fname: str, p: Dict[str, Any], required: bool) -> List[FieldSpec
                 name=fname,
                 dtype=f"array<{_scalar_dtype(items)}>",
                 required=required,
+                default=p.get("default"),
                 **container,
                 **_scalar_kwargs(items),
             )
@@ -234,7 +238,7 @@ def _prop_from_spec(f: FieldSpec, children: List[FieldSpec]) -> Dict[str, Any]:
         else:
             items = _scalar_prop(f, dtype=elem)
             # container-level keys stay on the array, not the items
-            for k in ("minItems", "maxItems"):
+            for k in ("minItems", "maxItems", "default"):
                 items.pop(k, None)
             p["items"] = items
         if f.min_items is not None:
@@ -243,6 +247,8 @@ def _prop_from_spec(f: FieldSpec, children: List[FieldSpec]) -> Dict[str, Any]:
             p["maxItems"] = f.max_items
         if f.unique_items:
             p["uniqueItems"] = True
+        if f.default is not None:
+            p["default"] = f.default
         return p
     if f.dtype.startswith("map"):
         vt = f.dtype[f.dtype.index("<") + 1 : f.dtype.rindex(">")].split(",", 1)[1].strip()
@@ -252,7 +258,11 @@ def _prop_from_spec(f: FieldSpec, children: List[FieldSpec]) -> Dict[str, Any]:
         elif vt.startswith("struct"):
             p["additionalProperties"] = {"type": "object"}
         else:
-            p["additionalProperties"] = _scalar_prop(f, dtype=vt)
+            ap = _scalar_prop(f, dtype=vt)
+            ap.pop("default", None)
+            p["additionalProperties"] = ap
+        if f.default is not None:
+            p["default"] = f.default
         return p
     return _scalar_prop(f)
 

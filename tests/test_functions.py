@@ -217,6 +217,16 @@ def test_minhash_dedup_finds_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_lsh_rejects_indivisible_banding(spark):
+    # k=8, bands=3 would silently drop the last two signature rows,
+    # changing recall — must raise instead (like simhash bits/chunks)
+    df = _docs(spark, [(1, "a b c", "en")])
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.lsh_candidate_pairs(df, k=8, bands=3)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_dedup_pairs(df, 0.6, k=8, bands=3)
+
+
 def _py_simhash(tokens):
     sums = [0] * dedup.SIMHASH_BITS
     for t in set(tokens):

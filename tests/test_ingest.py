@@ -259,3 +259,41 @@ def test_json_schema_nested_objects(spark):
     assert back["properties"]["labels"]["items"]["pattern"] == "^[a-z]+$"
     # round trip is stable
     assert from_json_schema(back) == spec
+
+
+def test_json_schema_array_and_map_defaults_round_trip(spark):
+    """A `default` on an array/map property survives from_json_schema
+    (kept on the FieldSpec), fills nulls on the columnar path where
+    lit-able, and round-trips back through to_json_schema."""
+    schema = {
+        "title": "cfg",
+        "type": "object",
+        "properties": {
+            "tags": {
+                "type": "array",
+                "items": {"type": "string"},
+                "default": ["untagged"],
+            },
+            "opts": {
+                "type": "object",
+                "additionalProperties": {"type": "string"},
+                "default": {"mode": "fast"},
+            },
+        },
+    }
+    spec = from_json_schema(schema)
+    assert spec.field("tags").default == ["untagged"]
+    assert spec.field("opts").default == {"mode": "fast"}
+    back = to_json_schema(spec)
+    assert back["properties"]["tags"]["default"] == ["untagged"]
+    assert back["properties"]["opts"]["default"] == {"mode": "fast"}
+    # array defaults (lit-able) fill nulls on the columnar path;
+    # dict defaults are spec-only (documented in coerce._columnar_default)
+    from satya_spark.coerce import coerce
+
+    df = spark.createDataFrame(
+        [(None, None)], "tags array<string>, opts map<string,string>"
+    )
+    row = coerce(df, spec).collect()[0]
+    assert row["tags"] == ["untagged"]
+    assert row["opts"] is None

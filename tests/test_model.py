@@ -145,6 +145,26 @@ def test_model_config_extra_modes(spark):
     assert any(e.constraint == "extra_field" for e in ei.value.errors)
 
 
+def test_extra_allow_round_trips_through_dump(spark):
+    # extra='allow' keys must survive model_dump / model_dump_json —
+    # the reference iterates self._data (src/satya/__init__.py:752+,
+    # 866-872), so extras the user opted into are not dropped on dump
+    class Loose(Model):
+        model_config = {"extra": "allow"}
+        name: str = Field(min_length=2)
+
+    Loose.validator(spark)
+    m = Loose(name="Ada", nickname="A.", score=7)
+    d = m.model_dump()
+    assert d == {"name": "Ada", "nickname": "A.", "score": 7}
+    # declared fields keep declaration order; extras follow
+    assert list(d) == ["name", "nickname", "score"]
+    assert '"nickname": "A."' in m.model_dump_json()
+    # include/exclude apply to extras too
+    assert m.model_dump(exclude={"nickname"}) == {"name": "Ada", "score": 7}
+    assert m.model_dump(include={"score"}) == {"score": 7}
+
+
 def test_model_frozen(spark):
     class Frozen(Model):
         model_config = {"frozen": True}

@@ -63,6 +63,25 @@ def _attach_spark(spark):
     yield
 
 
+def test_optional_nested_explicit_none_stays_none(spark):
+    # an optional nested field passed explicitly as None keeps None —
+    # only an ABSENT key falls back to the declared default (matches
+    # the scalar path and exclude_unset semantics)
+    class WithOpt(Model):
+        name: str = Field(min_length=2)
+        address: Optional[Address] = Field(
+            required=False, default={"street": "5 Main Street", "zipcode": "12345"}
+        )
+
+    WithOpt.validator(spark)
+    explicit = WithOpt(name="Ada", address=None)
+    assert explicit.address is None
+    assert "address" in explicit.__fields_set__
+    absent = WithOpt(name="Ada")
+    assert absent.address == {"street": "5 Main Street", "zipcode": "12345"}
+    assert "address" not in absent.__fields_set__
+
+
 def test_simple_dict_of_models(spark):
     data = {
         "resolution": 5,
