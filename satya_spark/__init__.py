@@ -9,14 +9,22 @@ per-partition manifest. See SURVEY.md for the full design mapping.
 
 from .spec import FieldSpec, TableSpec, transcript_spec
 from .compiler import compile_spec, CompiledSpec, CompiledRule
+from .validators import ValidationInfo, field_validator, model_validator
+from .model import Field, Model, ModelValidationError
 
 __all__ = [
+    "Field",
+    "Model",
+    "ModelValidationError",
     "FieldSpec",
     "TableSpec",
     "transcript_spec",
     "compile_spec",
     "CompiledSpec",
     "CompiledRule",
+    "ValidationInfo",
+    "field_validator",
+    "model_validator",
 ]
 
 __version__ = "0.1.0"

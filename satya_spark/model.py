@@ -290,6 +290,13 @@ class ModelMeta(type):
                 )
             fields[fname] = fdef
         cls.__fields__ = fields
+        # decorator-registered validators (@field_validator /
+        # @model_validator, reference src/satya/validators.py:66-140):
+        # collected per class over the MRO so inheritance works;
+        # check_fields rejects unknown names at class creation
+        from .validators import collect_validators
+
+        cls.__field_validators__, cls.__model_validators__ = collect_validators(cls)
         return cls
 
 
@@ -341,9 +348,56 @@ class Model(metaclass=ModelMeta):
 
     def __init__(self, **data: Any):
         from .compat import ValidationError
+        from .validators import (
+            ValidationInfo,
+            call_field_validator,
+            call_model_validator_before,
+        )
 
         cls = type(self)
         config = getattr(cls, "model_config", {}) or {}
+        fvs = getattr(cls, "__field_validators__", [])
+        mvs = getattr(cls, "__model_validators__", [])
+        # @model_validator(mode='before'): raw-dict rewrite ahead of
+        # everything (reference src/satya/validators.py:252-258)
+        for mv in mvs:
+            if mv.mode != "before":
+                continue
+            try:
+                res = call_model_validator_before(mv, cls, dict(data))
+                if isinstance(res, dict):
+                    data = res
+            except Exception as e:  # noqa: BLE001
+                raise ModelValidationError(
+                    [ValidationError("<model>", str(e) or mv.name, constraint=mv.name)]
+                ) from e
+        # @field_validator mode='before'/'plain': transform provided
+        # values ahead of the compiled kernels; 'plain' additionally
+        # REPLACES the field's standard validation
+        fv_errs: list = []
+        plain_fields: set = set()
+        if fvs:
+            data = dict(data)
+            for fv in fvs:
+                if fv.mode not in ("before", "plain"):
+                    continue
+                for fname in fv.fields:
+                    if fv.mode == "plain":
+                        plain_fields.add(fname)
+                    if fname not in data or data[fname] is None:
+                        continue  # nulls skip value rules (engine-wide)
+                    try:
+                        data[fname] = call_field_validator(
+                            fv, cls, data[fname],
+                            ValidationInfo(fname, dict(data), config),
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        fv_errs.append(
+                            ValidationError(
+                                fname, str(e) or fv.name, value=data[fname],
+                                constraint=fv.name,
+                            )
+                        )
         nested_names = {
             n for n, f in cls.__fields__.items() if getattr(f, "_nested", None)
         }
@@ -353,7 +407,15 @@ class Model(metaclass=ModelMeta):
             for k, v in data.items()
             if k not in nested_names and k in cls.__fields__
         }
-        errs = list(cls.validator().validate(scalars).errors)
+        # 'plain' REPLACES a field's VALUE kernels but not presence:
+        # the compiled validator still runs (required), its value-rule
+        # verdicts for plain fields are dropped
+        errs = fv_errs + [
+            e
+            for e in cls.validator().validate(scalars).errors
+            if e.field.split(".")[0] not in plain_fields
+            or e.constraint == "required"
+        ]
         if config.get("extra", "ignore") == "forbid" and extras:
             errs.extend(
                 ValidationError(
@@ -453,8 +515,42 @@ class Model(metaclass=ModelMeta):
             for k in extras:
                 d[k] = data[k]
             fields_set |= set(extras)
+        # @field_validator(mode='after'): transform the VALIDATED
+        # value (runs only once standard validation passed)
+        after_errs: list = []
+        for fv in fvs:
+            if fv.mode != "after":
+                continue
+            for fname in fv.fields:
+                if fname not in d or d[fname] is None:
+                    continue
+                try:
+                    d[fname] = call_field_validator(
+                        fv, cls, d[fname], ValidationInfo(fname, dict(d), config)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    after_errs.append(
+                        ValidationError(
+                            fname, str(e) or fv.name, value=d[fname],
+                            constraint=fv.name,
+                        )
+                    )
+        if after_errs:
+            raise ModelValidationError(after_errs)
         object.__setattr__(self, "_data", d)
         object.__setattr__(self, "_fields_set", fields_set)
+        # @model_validator(mode='after'): runs on the constructed
+        # instance (reference src/satya/validators.py:260-263); the
+        # return value is the instance itself (rewrites mutate self)
+        for mv in mvs:
+            if mv.mode != "after":
+                continue
+            try:
+                mv.func(self)
+            except Exception as e:  # noqa: BLE001
+                raise ModelValidationError(
+                    [ValidationError("<model>", str(e) or mv.name, constraint=mv.name)]
+                ) from e
 
     @property
     def __fields_set__(self) -> set:
@@ -764,7 +860,7 @@ class Model(metaclass=ModelMeta):
         from pyspark.sql import functions as F
 
         from .coerce import spark_type
-        from .compiler import compile_spec
+        from .validators import apply_validators_df
 
         spec = cls.spec()
         out = df
@@ -775,7 +871,10 @@ class Model(metaclass=ModelMeta):
             # its name and shadow the struct path)
             if "." not in f.name and f.name not in df.columns:
                 out = out.withColumn(f.name, F.lit(None).cast(spark_type(f.dtype)))
-        return compile_spec(spec).with_validation(out)
+        # compiles the kernels AND applies any @field_validator /
+        # @model_validator registrations as Arrow-batched pandas UDFs
+        # around them (no-op without registrations)
+        return apply_validators_df(cls, out)
 
     # --- dump (src/satya/__init__.py:732-794) ---------------------------
     def model_dump(

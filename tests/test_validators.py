@@ -1,0 +1,267 @@
+"""Decorator-syntax validators (@field_validator / @model_validator) —
+the reference's Pydantic-compat registration surface
+(src/satya/validators.py:66-140), exercised the way
+examples/pydantic_compatibility_showcase.py:99-155 does, through BOTH
+paths: Model(**data) (small-batch) and validate_df (columnar scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from satya_spark import (
+    Field,
+    Model,
+    ModelValidationError,
+    field_validator,
+    model_validator,
+)
+
+
+# --- showcase shapes (pydantic_compatibility_showcase.py) -------------------
+
+class User(Model):
+    name: str
+    age: int
+
+    @field_validator("name")
+    def validate_name(cls, v, info):
+        if not v.strip():
+            raise ValueError("Name cannot be empty")
+        return v.title()
+
+    @field_validator("age")
+    def validate_age(cls, v, info):
+        if v < 0:
+            raise ValueError("Age cannot be negative")
+        if v > 150:
+            raise ValueError("Age seems unrealistic")
+        return v
+
+
+class PasswordReset(Model):
+    password: str
+    password_confirm: str
+
+    @model_validator(mode="after")
+    def check_passwords_match(self):
+        if self.password != self.password_confirm:
+            raise ValueError("Passwords do not match")
+        return self
+
+
+@pytest.fixture(autouse=True)
+def _attach(spark):
+    for cls in (User, PasswordReset):
+        cls.validator(spark)
+    yield
+
+
+# --- small-batch path -------------------------------------------------------
+
+def test_field_validator_after_transforms(spark):
+    u = User(name="john doe", age=25)
+    assert u.name == "John Doe"  # title-cased by the validator
+    assert u.age == 25
+
+
+def test_field_validator_after_raises(spark):
+    with pytest.raises(ModelValidationError) as ei:
+        User(name="   ", age=25)
+    assert any(
+        e.field == "name" and "empty" in e.message for e in ei.value.errors
+    )
+    with pytest.raises(ModelValidationError) as ei:
+        User(name="Jane", age=200)
+    assert any(
+        e.field == "age" and "unrealistic" in e.message for e in ei.value.errors
+    )
+
+
+def test_model_validator_after(spark):
+    ok = PasswordReset(password="secret123", password_confirm="secret123")
+    assert ok.password == ok.password_confirm
+    with pytest.raises(ModelValidationError) as ei:
+        PasswordReset(password="secret123", password_confirm="different")
+    assert any("do not match" in e.message for e in ei.value.errors)
+    assert any(e.constraint == "check_passwords_match" for e in ei.value.errors)
+
+
+def test_before_mode_runs_ahead_of_kernels(spark):
+    class Code(Model):
+        code: str = Field(pattern=r"^[A-Z]{3}$")
+
+        @field_validator("code", mode="before")
+        def upcase(cls, v, info):
+            return v.strip().upper()
+
+    Code.validator(spark)
+    assert Code(code=" abc ").code == "ABC"  # passes pattern only post-transform
+
+
+def test_plain_mode_replaces_standard_kernels(spark):
+    class Odd(Model):
+        n: int = Field(ge=100)  # standard rule would reject 3
+
+        @field_validator("n", mode="plain")
+        def must_be_odd(cls, v, info):
+            if v % 2 == 0:
+                raise ValueError("must be odd")
+            return v
+
+    Odd.validator(spark)
+    assert Odd(n=3).n == 3  # ge=100 replaced by the plain validator
+    with pytest.raises(ModelValidationError):
+        Odd(n=4)
+
+
+def test_model_validator_before_rewrites_dict(spark):
+    class Pair(Model):
+        lo: int
+        hi: int
+
+        @model_validator(mode="before")
+        def swap_if_needed(cls, values):
+            if values.get("lo") is not None and values.get("hi") is not None:
+                if values["lo"] > values["hi"]:
+                    values = {**values, "lo": values["hi"], "hi": values["lo"]}
+            return values
+
+    Pair.validator(spark)
+    p = Pair(lo=9, hi=2)
+    assert (p.lo, p.hi) == (2, 9)
+
+
+def test_validators_inherit(spark):
+    class Child(User):
+        email: str = Field(email=True)
+
+    Child.validator(spark)
+    c = Child(name="ada lovelace", age=36, email="ada@math.org")
+    assert c.name == "Ada Lovelace"
+    with pytest.raises(ModelValidationError):
+        Child(name="x", age=-1, email="ada@math.org")
+
+
+def test_check_fields_rejects_unknown_names():
+    with pytest.raises(TypeError, match="unknown"):
+        class Bad(Model):
+            name: str
+
+            @field_validator("nmae")  # typo caught at class creation
+            def v(cls, v, info):
+                return v
+
+    class Allowed(Model):
+        name: str
+
+        @field_validator("whatever", check_fields=False)
+        def v(cls, v, info):
+            return v
+
+
+def test_wrap_mode_rejected_loudly():
+    with pytest.raises(NotImplementedError, match="wrap"):
+        field_validator("x", mode="wrap")
+
+
+def test_two_arg_signature_supported(spark):
+    class TwoArg(Model):
+        name: str
+
+        @field_validator("name")
+        def strip_it(cls, v):
+            return v.strip()
+
+    TwoArg.validator(spark)
+    assert TwoArg(name="  a  ").name == "a"
+
+
+# --- scale path (validate_df) ----------------------------------------------
+
+def test_validate_df_applies_field_validators(spark):
+    df = spark.createDataFrame(
+        [("john doe", 25), ("   ", 30), ("Jane", 200), (None, 40)],
+        "name string, age long",
+    )
+    rows = User.validate_df(df).orderBy("age").collect()
+    # transform applied to the output column
+    assert rows[0]["name"] == "John Doe" and rows[0]["valid"]
+    # raised messages become violation rows (field, validator, message)
+    v30 = {(v["field"], v["constraint_name"]) for v in rows[1]["violations"]}
+    assert ("name", "validate_name") in v30 and not rows[1]["valid"]
+    assert any(
+        "empty" in v["offending_value"] for v in rows[1]["violations"]
+    )
+    # nulls skip the validator (required kernel still fires)
+    v40 = {(v["field"], v["constraint_name"]) for v in rows[2]["violations"]}
+    assert v40 == {("name", "required")}
+    v200 = {(v["field"], v["constraint_name"]) for v in rows[3]["violations"]}
+    assert ("age", "validate_age") in v200
+
+
+def test_validate_df_applies_model_validators(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], "password string, password_confirm string"
+    )
+    rows = PasswordReset.validate_df(df).orderBy("password_confirm").collect()
+    assert rows[0]["valid"]
+    assert not rows[1]["valid"]
+    assert [
+        (v["field"], v["constraint_name"]) for v in rows[1]["violations"]
+    ] == [("<row>", "check_passwords_match")]
+    assert "do not match" in rows[1]["violations"][0]["offending_value"]
+
+
+def test_validate_df_plain_mode_drops_standard_kernels(spark):
+    class Odd2(Model):
+        n: int = Field(ge=100)
+
+        @field_validator("n", mode="plain")
+        def must_be_odd(cls, v, info):
+            if v % 2 == 0:
+                raise ValueError("must be odd")
+            return v
+
+    df = spark.createDataFrame([(3,), (4,)], "n long")
+    rows = Odd2.validate_df(df).orderBy("n").collect()
+    assert rows[0]["valid"]  # ge=100 replaced
+    assert not rows[1]["valid"]
+    assert rows[1]["violations"][0]["constraint_name"] == "must_be_odd"
+
+
+def test_validate_df_before_mode_feeds_kernels(spark):
+    class Code2(Model):
+        code: str = Field(pattern=r"^[A-Z]{3}$")
+
+        @field_validator("code", mode="before")
+        def upcase(cls, v, info):
+            return v.strip().upper()
+
+    df = spark.createDataFrame([(" abc ",), ("nope",)], "code string")
+    rows = Code2.validate_df(df).orderBy("code").collect()
+    by_code = {r["code"]: r for r in rows}
+    assert by_code["ABC"]["valid"]  # transformed, then pattern passes
+    assert not by_code["NOPE"]["valid"]  # transformed, pattern fails
+
+
+def test_showcase_combined_example(spark):
+    """The showcase's combined e-commerce shape
+    (pydantic_compatibility_showcase.py:158-180), trimmed to the
+    columnar vocabulary."""
+
+    class OrderItem(Model):
+        product_id: str = Field(to_upper=True, strip_whitespace=True)
+        quantity: int = Field(ge=1)
+
+        @field_validator("product_id")
+        def validate_product_id(cls, v, info):
+            if not v.strip().upper().startswith("PROD-"):
+                raise ValueError("Product ID must start with PROD-")
+            return v
+
+    OrderItem.validator(spark)
+    ok = OrderItem(product_id="  prod-77  ", quantity=2)
+    assert ok.product_id.strip().upper() == "PROD-77"
+    with pytest.raises(ModelValidationError):
+        OrderItem(product_id="SKU-1", quantity=2)
