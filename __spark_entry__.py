@@ -421,6 +421,17 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION default banding (bits=60, chunks=4 → 15-bit
+    chunks, 4 × 32,768 join keys — the config that survives 10^11
+    docs, dedup.py SIMHASH_PAIR_BITS): same pigeonhole-exact pair
+    finding, oracle-gated like the test-scale config above."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(docs_from_testdata(spark, sf_dir), max_hamming=3)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 query vectors —
     the exact ANN baseline (broadcast queries, no shuffle on corpus)."""
@@ -556,6 +567,37 @@ def q_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, cents, k=5, nprobe=8, impl="arrow")
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the PERSISTED physical layout: ``build_ivf_index``
+    writes the corpus partitioned by ``__list`` (one directory per
+    inverted list — the Iceberg identity-partition stand-in), then
+    probing applies the ≤k probed list ids as a LITERAL partition
+    filter — static partition pruning at the scan (pinned in
+    tests/test_plans.py). Same pruned semantics as
+    ``ann_ivf_pruned_arrow`` (iters=0 stride centroids, nprobe=2,
+    arrow assignment/probe), so it shares that fully-SQL oracle."""
+    import os
+    import tempfile
+
+    from satya_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=0)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(tempfile.gettempdir(), f"satya_ivf_index_{tag}")
+    build_ivf_index(emb, cents, idx, impl="arrow")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_indexed(
+        spark, idx, queries, cents, k=5, nprobe=2, impl="arrow"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature
     extraction over opaque binary payloads. The fake featurizer is
@@ -684,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_tight": q_dedup_minhash_tight,
             "dedup_simhash": q_dedup_simhash,
             "dedup_simhash_pairs": q_dedup_simhash_pairs,
+            "dedup_simhash_pairs_prod": q_dedup_simhash_pairs_prod,
             "ann_topk": q_ann_topk,
             "ann_lsh_topk": q_ann_lsh_topk,
             "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -691,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_pruned": q_ann_ivf_pruned,
             "ann_ivf_arrow": q_ann_ivf_arrow,
             "ann_ivf_pruned_arrow": q_ann_ivf_pruned_arrow,
+            "ann_ivf_indexed": q_ann_ivf_indexed,
             "dedup_embedding": q_dedup_embedding,
             "dedup_embedding_expr": q_dedup_embedding_expr,
             "media_features": q_media_features,
@@ -830,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_pruned"] = _ivf_pruned_oracle()
     out["ann_ivf_arrow"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
     out["ann_ivf_pruned_arrow"] = _ivf_pruned_oracle()
+    out["ann_ivf_indexed"] = _ivf_pruned_oracle()  # same pruned semantics
     out["dedup_embedding"] = _embdup_oracle()
     out["dedup_embedding_expr"] = _embdup_oracle()
     out["media_features"] = _media_oracle()
@@ -1034,7 +1079,13 @@ def _event_oracles() -> dict[str, str]:
 def _doc_oracles() -> dict[str, str]:
     from satya_spark.docfix import docs_with_clause
     from satya_spark.functions import text as tx
-    from satya_spark.functions.dedup import MINHASH_BANDS, MINHASH_K, SIMHASH_BITS
+    from satya_spark.functions.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        SIMHASH_BITS,
+        SIMHASH_PAIR_BITS,
+        SIMHASH_PAIR_CHUNKS,
+    )
 
     W = docs_with_clause()
     o: dict[str, str] = {}
@@ -1124,33 +1175,41 @@ def _doc_oracles() -> dict[str, str]:
         f", agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id) "
         f"SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM agg"
     )
-    # chunk-blocked pair finding (dedup.simhash_pairs: bits=32,
-    # chunks=4, max_hamming=3 — pigeonhole guarantees exact recall)
-    bits2, chunks2, maxham2 = 32, 4, 3
-    cb2 = bits2 // chunks2
-    bit_sums2 = ", ".join(
-        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits2)
-    )
-    sig_expr2 = " + ".join(
-        f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END * {2**b})" for b in range(bits2)
-    )
-    chunk_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {ci} AS ci, "
-        f"(simhash >> {ci * cb2}) & {(1 << cb2) - 1} AS cv FROM sig2"
-        for ci in range(chunks2)
-    )
-    o["dedup_simhash_pairs"] = W + (
-        f", toks2 AS (SELECT doc_id, unnest({toks_sql}) AS tok FROM docs)"
-        ", h2 AS (SELECT doc_id, ('0x' || substring(md5('sh:' || tok), 1, 15))::BIGINT AS h FROM toks2)"
-        f", agg2 AS (SELECT doc_id, {bit_sums2} FROM h2 GROUP BY doc_id)"
-        f", sig2 AS (SELECT doc_id, CAST({sig_expr2} AS BIGINT) AS simhash FROM agg2)"
-        f", ch AS ({chunk_selects})"
-        ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
-        "a.simhash AS s_a, b.simhash AS s_b FROM ch a JOIN ch b"
-        " ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id) "
-        "SELECT id_a, id_b, hamming FROM (SELECT id_a, id_b, "
-        "CAST(bit_count(xor(s_a, s_b)) AS INT) AS hamming FROM cand) p "
-        f"WHERE hamming <= {maxham2}"
+    # chunk-blocked pair finding (dedup.simhash_pairs — pigeonhole
+    # guarantees exact recall): parameterized over the banding config
+    # so BOTH the test-scale (bits=32) and the shipped production
+    # default (bits=60, 15-bit chunks) get their own green gate
+    def _simhash_pairs_sql(bits2: int, chunks2: int, maxham2: int) -> str:
+        cb2 = bits2 // chunks2
+        bit_sums2 = ", ".join(
+            f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits2)
+        )
+        sig_expr2 = " + ".join(
+            f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END * CAST({2**b} AS BIGINT))"
+            for b in range(bits2)
+        )
+        chunk_selects = " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {ci} AS ci, "
+            f"(simhash >> {ci * cb2}) & {(1 << cb2) - 1} AS cv FROM sig2"
+            for ci in range(chunks2)
+        )
+        return W + (
+            f", toks2 AS (SELECT doc_id, unnest({toks_sql}) AS tok FROM docs)"
+            ", h2 AS (SELECT doc_id, ('0x' || substring(md5('sh:' || tok), 1, 15))::BIGINT AS h FROM toks2)"
+            f", agg2 AS (SELECT doc_id, {bit_sums2} FROM h2 GROUP BY doc_id)"
+            f", sig2 AS (SELECT doc_id, CAST({sig_expr2} AS BIGINT) AS simhash FROM agg2)"
+            f", ch AS ({chunk_selects})"
+            ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "a.simhash AS s_a, b.simhash AS s_b FROM ch a JOIN ch b"
+            " ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, hamming FROM (SELECT id_a, id_b, "
+            "CAST(bit_count(xor(s_a, s_b)) AS INT) AS hamming FROM cand) p "
+            f"WHERE hamming <= {maxham2}"
+        )
+
+    o["dedup_simhash_pairs"] = _simhash_pairs_sql(32, 4, 3)
+    o["dedup_simhash_pairs_prod"] = _simhash_pairs_sql(
+        SIMHASH_PAIR_BITS, SIMHASH_PAIR_CHUNKS, 3
     )
     cos = (
         "round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])"

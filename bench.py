@@ -207,6 +207,69 @@ def phase1(cpus: int, sf_dir: str, fixture_path: str, staged: str) -> None:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm
         times[name] = round(_best(lambda: fn(spark, sf_dir).count(), n=3), 3)
+    # IVF physical layout (VERDICT r3 #5): one-time index build, then
+    # partition-pruned probing vs the per-job full-scan recompute —
+    # the serving-shape payoff the persisted layout buys. The testdata
+    # embeddings table is toy-sized (≤2k vectors — overhead would
+    # swamp any layout signal), so this section synthesizes a 200k-
+    # vector corpus, parquet-staged so both paths read from disk.
+    from pyspark.sql import functions as F
+
+    from satya_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+
+    n_vec = int(os.environ.get("SATYA_BENCH_IVF_NVEC", "1000000"))
+    raw = staged + "_ivf_corpus"
+    (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: F.sin(F.col("id") * 0.618 + d.cast("double")).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(raw)
+    )
+    emb = spark.read.parquet(raw)
+    cents = train_centroids(emb.sample(0.02, seed=7), k=16, iters=1, impl="arrow")
+    idx = staged + "_ivf_index"
+    t0 = time.monotonic()
+    build_ivf_index(emb, cents, idx, impl="arrow")
+    times["ann_ivf_index_build"] = round(time.monotonic() - t0, 3)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_topk_indexed(
+        spark, idx, queries, cents, k=5, nprobe=2, impl="arrow"
+    ).count()  # warm
+    times["ann_ivf_probe_indexed"] = round(
+        _best(
+            lambda: ivf_topk_indexed(
+                spark, idx, queries, cents, k=5, nprobe=2, impl="arrow"
+            ).count(),
+            n=3,
+        ),
+        3,
+    )
+    ivf_topk(emb, queries, cents, k=5, nprobe=2, impl="arrow").count()  # warm
+    times["ann_ivf_probe_fullscan"] = round(
+        _best(
+            lambda: ivf_topk(
+                emb, queries, cents, k=5, nprobe=2, impl="arrow"
+            ).count(),
+            n=3,
+        ),
+        3,
+    )
     synthesize(spark, n_conv=N_CONV, partitions=32).write.mode(
         "overwrite"
     ).parquet(staged)

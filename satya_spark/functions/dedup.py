@@ -226,7 +226,17 @@ def minhash_dedup_pairs(
     are the recall/cost banding knob: per-band collision probability
     is s^(k/bands), so fewer, wider bands collapse low-similarity
     false candidates (the verify step's cost is linear in candidate
-    pairs) at the price of recall near the threshold."""
+    pairs) at the price of recall near the threshold.
+
+    DEFAULT-banding decision (recorded): the default stays the
+    RECALL-FIRST config (bands=4, rows=2 — collision prob s² per
+    band). A dedup library's default must not silently drop
+    near-threshold duplicates; cost is the tunable, recall is the
+    contract. On dup-heavy corpora the verify join dominates and
+    ``bands=2`` (rows=4, s⁴ per band) is ~1.9× cheaper end-to-end
+    (measured, BENCH.md) — that is the recommended PRODUCTION
+    setting when the corpus is known to be duplicate-rich, and it is
+    oracle-gated separately (``dedup_minhash_tight``)."""
     cands = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands)
     toks = df.select(
         F.col(id_col),

@@ -273,27 +273,65 @@ def _assign_lists_np(
     )
 
 
-def _probe_lists_np(
-    queries: DataFrame,
-    centroids: list[list[float]],
-    nprobe: int,
-    query_id_col: str = "query_id",
-    vec_col: str = "__qvec",
+def _probes_driver_np(
+    qpdf, centroids: list[list[float]], nprobe: int, vec_key: str
+) -> list[tuple]:
+    """Driver-side probe selection for a collected query batch
+    (queries are driver-small by definition — the broadcast side; if
+    a query batch ever outgrew the driver, probe selection would move
+    into the same Arrow pass that scores). Parity with the expression
+    path's ``reverse(array_sort(struct))``: 6-decimal cosine, ties to
+    the LARGEST centroid index."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0] = 1.0
+    idx = np.arange(C.shape[0])
+    out = []
+    for row in qpdf:
+        v = np.asarray(row[vec_key], dtype=np.float64)
+        vn = np.sqrt((v * v).sum()) or 1.0
+        sims = np.round(C @ v / (cn * vn), 6)
+        order = np.lexsort((-idx, -sims))[:nprobe]
+        out.append((row[0], v, np.sort(order).astype(np.int64)))
+    return out
+
+
+def _ivf_score_np(
+    corpus: DataFrame,
+    qinfo: list[tuple],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    centroids: list[list[float]] | None = None,
+    list_col: str = "__list",
 ) -> DataFrame:
-    """Arrow-batched probe selection: per query, the ``nprobe``
-    highest-cosine centroid lists, one output row per (query, list).
-    Parity with the expression path's ``reverse(array_sort(struct))``:
-    cosines rounded to 6 decimals; ties break to the LARGEST centroid
-    index."""
+    """ONE Arrow pass over the corpus: (optionally) assign each row's
+    IVF list via the centroid matmul, then score every query against
+    the rows of its probed lists with a numpy matmul and emit only the
+    per-batch LOCAL top-k per query. The global exact top-k is the
+    window over that union (≤ batches × queries × k candidate rows —
+    tiny), so no (corpus × query) pair set ever materializes and no
+    interpreted per-pair cosine fold runs. This replaced a
+    join + F.aggregate-fold ranking measured at ~9 µs/pair
+    (CodegenFallback HOF) — the fold was the bottleneck of every
+    arrow ANN query (BENCH.md r4).
+
+    ``qinfo``: [(query_id, np.ndarray vec, np.ndarray probe_lists)]
+    collected driver-side — bounded by the query batch (the broadcast
+    side), same driver-small class as the centroid matrix."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
 
-    C = np.asarray(centroids, dtype=np.float64)
-    k = C.shape[0]
-    cn = np.sqrt((C * C).sum(axis=1))
-    cn[cn == 0] = 1.0
-    idx = np.arange(k)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        cn[cn == 0] = 1.0
+
+    has_list = centroids is None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -302,24 +340,43 @@ def _probe_lists_np(
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             xn = np.sqrt((x * x).sum(axis=1))
             xn[xn == 0] = 1.0
-            sims = np.round(x @ C.T / (xn[:, None] * cn[None, :]), 6)
+            ids = pdf[id_col].to_numpy()
+            if has_list:
+                lists = pdf[list_col].to_numpy()
+            else:
+                lists = np.round(
+                    x @ C.T / (xn[:, None] * cn[None, :]), 6
+                ).argmax(axis=1)
             frames = []
-            for r in range(len(pdf)):
-                # primary: sim desc; secondary: centroid idx desc
-                order = np.lexsort((-idx, -sims[r]))[:nprobe]
+            for qid, qv, probes in qinfo:
+                mask = np.isin(lists, probes) & (ids != qid)
+                if not mask.any():
+                    continue
+                sel = np.nonzero(mask)[0]
+                qn = np.sqrt((qv * qv).sum()) or 1.0
+                sims = np.round(x[sel] @ qv / (xn[sel] * qn), 6)
+                order = np.lexsort((ids[sel], -sims))[:k]
                 frames.append(
                     pd.DataFrame(
                         {
-                            query_id_col: pdf[query_id_col].iloc[r],
-                            vec_col: [pdf[vec_col].iloc[r]] * len(order),
-                            "__list": order.astype(np.int32),
+                            query_id_col: qid,
+                            id_col: ids[sel][order],
+                            "cos_sim": sims[order],
                         }
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-    return queries.select(query_id_col, vec_col).mapInPandas(
-        run, schema=f"{query_id_col} long, {vec_col} array<float>, __list int"
+    cols = [id_col, vec_col] + ([list_col] if has_list else [])
+    local = corpus.select(*cols).mapInPandas(
+        run, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
     )
 
 
@@ -424,20 +481,18 @@ def ivf_topk(
     ``impl='expr'`` inlines assignment/probe as constant-folded
     Catalyst expressions (bit-exact SQL-oracle parity; k×dims terms —
     past ~500 the fused stage drops to interpreted eval).
-    ``impl='arrow'`` assigns and probes via one numpy matmul per Arrow
-    batch (``_assign_lists_np`` / ``_probe_lists_np``) — the 100 TB
-    configuration for production dims×k; same 6-decimal rounding and
-    tie-breaks, parity-tested in tests/test_functions.py."""
+    ``impl='arrow'`` runs assignment, probe-filtered scoring, and
+    per-batch local top-k in ONE numpy mapInPandas pass over the
+    corpus (``_ivf_score_np``) — the 100 TB configuration: no
+    corpus×query pair set, no interpreted cosine fold, one scan; same
+    6-decimal rounding and tie-breaks, parity-tested in
+    tests/test_functions.py."""
     if impl == "arrow":
-        c = _assign_lists_np(corpus, centroids, id_col=id_col, vec_col=vec_col)
-        q = _probe_lists_np(
-            queries.select(
-                F.col(query_id_col), F.col(vec_col).alias("__qvec")
-            ),
-            centroids,
-            nprobe,
-            query_id_col=query_id_col,
-            vec_col="__qvec",
+        qpdf = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+        qinfo = _probes_driver_np(qpdf, centroids, nprobe, vec_col)
+        return _ivf_score_np(
+            corpus, qinfo, k, id_col, vec_col, query_id_col,
+            centroids=centroids,
         )
     else:
         c = corpus.withColumn(
@@ -460,6 +515,105 @@ def ivf_topk(
             F.col(vec_col).alias("__qvec"),
             F.explode(F.transform(probes, lambda x: x["c"])).alias("__list"),
         )
+    j = c.join(F.broadcast(q), "__list").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus PHYSICALLY PARTITIONED by its IVF list id —
+    the 100 TB serving layout (the sandbox parquet stand-in for an
+    Iceberg identity-partition on ``__list``). Each inverted list is
+    its own partition directory, so probing ``nprobe`` lists becomes
+    PARTITION PRUNING at the scan: a query batch touches ~nprobe/k of
+    the bytes and the assignment matmul runs ONCE at build time, not
+    per query batch (``ivf_topk`` recomputes it per job). Pruning is
+    pinned at plan level in tests/test_plans.py."""
+    if impl == "arrow":
+        assigned = _assign_lists_np(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    else:
+        assigned = corpus.select(
+            id_col,
+            vec_col,
+            _nearest_centroid(F.col(vec_col), centroids).alias("__list"),
+        )
+    # cluster rows by list BEFORE the partitioned write: without it
+    # every input task writes a sliver into every list directory
+    # (tasks × k small files — a probe then pays k× the file-open
+    # cost it should); with it each list is a few compact files
+    assigned.repartition("__list").write.mode(mode).partitionBy(
+        "__list"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    impl: str = "arrow",
+) -> DataFrame:
+    """IVF search over a :func:`build_ivf_index` layout. The probed
+    list ids are applied as a LITERAL partition filter on the scan —
+    static partition pruning, visible as ``PartitionFilters`` in the
+    physical plan. The driver-side collect behind that literal is
+    bounded by the number of CENTROIDS (distinct probed lists ≤ k_ivf
+    regardless of query-batch size — same driver-small class as the
+    centroid matrix itself), never by data volume. Within the pruned
+    scan, the arrow impl scores queries in one numpy Arrow pass with
+    per-batch local top-k (``_ivf_score_np`` — no pair set, no
+    interpreted cosine fold); the expr impl keeps the broadcast
+    equi-join on ``__list`` (SQL-oracle twin shape)."""
+    if impl == "arrow":
+        qpdf = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+        qinfo = _probes_driver_np(qpdf, centroids, nprobe, vec_col)
+        probed = sorted({int(li) for _, _, pr in qinfo for li in pr})
+        c = spark.read.parquet(index_path).filter(F.col("__list").isin(probed))
+        return _ivf_score_np(c, qinfo, k, id_col, vec_col, query_id_col)
+    else:
+        sims = [
+            F.round(_cos_to_const(F.col("__qvec"), cent), 6) for cent in centroids
+        ]
+        probe_struct = F.array(
+            *[
+                F.struct(sims[i].alias("s"), F.lit(i).alias("c"))
+                for i in range(len(centroids))
+            ]
+        )
+        probes = F.slice(F.reverse(F.array_sort(probe_struct)), 1, nprobe)
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        ).select(
+            query_id_col,
+            "__qvec",
+            F.explode(F.transform(probes, lambda x: x["c"])).alias("__list"),
+        )
+    # ≤ len(centroids) ints by construction — the pruning literal
+    probed = sorted(
+        r["__list"] for r in q.select("__list").distinct().collect()
+    )
+    c = spark.read.parquet(index_path).filter(F.col("__list").isin(probed))
     j = c.join(F.broadcast(q), "__list").filter(
         F.col(query_id_col) != F.col(id_col)
     )
