@@ -300,7 +300,10 @@ def phase_stream(cpus: int, tmp_root: str) -> None:
     from satya_spark.streaming.stateful import stateful_turn_checks
     from satya_spark.transcripts import synthesize
 
-    n_conv = int(os.environ.get("SATYA_BENCH_STREAM_NCONV", "60000"))
+    # 360k convs (~3.4M turns): large enough that the 4 streaming-query
+    # startups (~7 s fixed across both checkpointed runs) stop
+    # dominating the rows/s — see BENCH.md r4 streaming breakdown
+    n_conv = int(os.environ.get("SATYA_BENCH_STREAM_NCONV", "360000"))
     spark = _session(cpus)
     all_dir = os.path.join(tmp_root, "stream_all")
     in_dir = os.path.join(tmp_root, "stream_in")
@@ -340,7 +343,11 @@ def phase_stream(cpus: int, tmp_root: str) -> None:
         )
         qs = (
             stateful_turn_checks(
-                spark.readStream.schema(schema).parquet(in_dir)
+                spark.readStream.schema(schema).parquet(in_dir),
+                # state key-space compaction: 4096 buckets ≈ 15
+                # convs/group here — per-group dispatch was the whole
+                # stateful wall at per-conv keys (see BENCH.md r4)
+                bucket_by=4096,
             )
             .writeStream.outputMode("append")
             .format("parquet")

@@ -48,12 +48,39 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def pil_available() -> bool:
+    """importlib-guarded PIL probe (no import side effects)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real decoder slot. PIL is not available in this container."""
+    """Real decoder slot: decodes via PIL when it is installed
+    (importlib-guarded — tests covering this branch skip when PIL is
+    absent); in this sandbox (no PIL/libvips) it raises rather than
+    silently degrading. ``extract_features``/``resize_images`` use the
+    deterministic byte-grid stand-ins either way, so the Spark-side
+    plumbing is identical with or without the real codec."""
+    if pil_available():
+        import io
+
+        from PIL import Image
+
+        return Image.open(io.BytesIO(payload))
     raise NotImplementedError(
         "image decode requires PIL/libvips — not present in this sandbox; "
         "extract_features uses the deterministic fake featurizer instead"
     )
+
+
+def decode_resize_pil(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """PIL-backed decode+resize: grayscale nearest-neighbor to
+    (out_w × out_h) bytes — the same output contract as the byte-grid
+    stand-in in :func:`resize_images`, so a real codec drops in
+    without changing the Spark pipeline or downstream schema."""
+    img = decode_image(payload).convert("L")
+    return img.resize((out_w, out_h), resample=0).tobytes()  # 0 = NEAREST
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

@@ -426,9 +426,25 @@ def test_frame_sample_plan(spark):
     assert rows and all(r["ts_ms"] % 1000 == 0 for r in rows)
 
 
+@pytest.mark.skipif(mm.pil_available(), reason="PIL installed: decode is real")
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"xx")
+
+
+@pytest.mark.skipif(not mm.pil_available(), reason="PIL not in this sandbox")
+def test_decode_resize_pil_contract():
+    """When PIL exists, decode+resize honors the byte-grid contract:
+    out_w·out_h grayscale bytes (same schema the stand-in emits)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 8), color=127).save(buf, format="PNG")
+    thumb = mm.decode_resize_pil(buf.getvalue(), 4, 4)
+    assert isinstance(thumb, bytes) and len(thumb) == 16
+    assert set(thumb) == {127}
 
 
 def test_simhash_pairs_keyword_only_knobs(spark):

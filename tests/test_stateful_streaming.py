@@ -23,10 +23,10 @@ def _write(path, rows):
             f.write(json.dumps(r) + "\n")
 
 
-def _run_batch(spark, indir, ckpt, outdir):
+def _run_batch(spark, indir, ckpt, outdir, **kw):
     stream = spark.readStream.schema(SCHEMA).json(str(indir))
     q = (
-        stateful_turn_checks(stream)
+        stateful_turn_checks(stream, **kw)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", str(outdir))
@@ -73,6 +73,43 @@ def test_state_survives_micro_batches(spark, tmp_path):
     assert ("c1", 1, "duplicate_turn") in rows2
     assert ("c1", 3, "duplicate_turn") not in rows2  # new turn is clean
     assert len(rows2) == 2
+
+
+def test_bucketed_state_matches_per_conv(spark, tmp_path):
+    """State key-space compaction (bucket_by — the throughput config,
+    BENCH.md r4): per-conversation verdicts must be IDENTICAL to the
+    per-conv-keyed operator, including cross-micro-batch state
+    (duplicates spanning batches) and many convs sharing one bucket."""
+    rows1 = [
+        {"conv_id": f"c{i}", "turn_idx": t}
+        for i in range(40)
+        for t in ([0, 1, 2] if i % 3 else [2, 0, 0])  # dups + regressions
+    ]
+    rows2 = [{"conv_id": f"c{i}", "turn_idx": 1} for i in range(0, 40, 3)]
+    outs = {}
+    for name, kw in (("perconv", {}), ("bucketed", {"bucket_by": 4})):
+        indir = tmp_path / f"in_{name}"
+        indir.mkdir()
+        ckpt, outdir = tmp_path / f"ck_{name}", tmp_path / f"out_{name}"
+        _write(indir / "b1.ndjson", rows1)
+        _run_batch(spark, indir, ckpt, outdir, **kw)
+        # second batch replays turn 1 for every third conv — detected
+        # only via state carried across micro-batches
+        _write(indir / "b2.ndjson", rows2)
+        _run_batch(spark, indir, ckpt, outdir, **kw)
+        outs[name] = sorted(
+            (r["conv_id"], r["turn_idx"], r["anomaly"], r["max_seen"])
+            for r in spark.read.parquet(str(outdir)).collect()
+        )
+    assert outs["perconv"], "fixture must produce anomalies"
+    assert outs["bucketed"] == outs["perconv"]
+    # batch-2's turn 1 arrives at convs whose batch-1 max is 2 with 1
+    # unseen → regressed_turn, detectable only via cross-batch state;
+    # with 40 convs over 4 buckets every bucket holds many convs
+    n_reg_batch2 = sum(
+        1 for c, t, a, _ in outs["bucketed"] if t == 1 and a == "regressed_turn"
+    )
+    assert n_reg_batch2 == 14  # i = 0, 3, ..., 39
 
 
 def test_checkpoint_resume_exactly_once(spark, tmp_path):
