@@ -571,19 +571,63 @@ class Model(metaclass=ModelMeta):
             # validate_assignment: run the field's compiled kernels on
             # the new value (reference src/satya/__init__.py:496-530
             # does an isinstance check; here the FULL constraint set
-            # applies — same engine as construction)
+            # applies — same engine as construction), with decorator
+            # validators in construction order: before/plain
+            # transforms → kernels (skipped for plain) → after
             if (
                 config.get("validate_assignment", False)
                 and name in type(self).__fields__
                 and not getattr(type(self).__fields__[name], "_nested", None)
             ):
-                errs = [
-                    e
-                    for e in type(self).validator().validate({name: value}).errors
-                    if e.field == name
-                ]
-                if errs:
-                    raise ModelValidationError(errs)
+                from .compat import ValidationError
+                from .validators import ValidationInfo, call_field_validator
+
+                cls = type(self)
+                fvs = getattr(cls, "__field_validators__", [])
+                plain = False
+                for fv in fvs:
+                    if fv.mode not in ("before", "plain") or name not in fv.fields:
+                        continue
+                    plain = plain or fv.mode == "plain"
+                    if value is None:
+                        continue
+                    try:
+                        value = call_field_validator(
+                            fv, cls, value, ValidationInfo(name, None, config)
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        raise ModelValidationError(
+                            [
+                                ValidationError(
+                                    name, str(e) or fv.name, value=value,
+                                    constraint=fv.name,
+                                )
+                            ]
+                        ) from e
+                if not plain:
+                    errs = [
+                        e
+                        for e in cls.validator().validate({name: value}).errors
+                        if e.field == name
+                    ]
+                    if errs:
+                        raise ModelValidationError(errs)
+                for fv in fvs:
+                    if fv.mode != "after" or name not in fv.fields or value is None:
+                        continue
+                    try:
+                        value = call_field_validator(
+                            fv, cls, value, ValidationInfo(name, None, config)
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        raise ModelValidationError(
+                            [
+                                ValidationError(
+                                    name, str(e) or fv.name, value=value,
+                                    constraint=fv.name,
+                                )
+                            ]
+                        ) from e
             self._data[name] = value
             self.__dict__.setdefault("_fields_set", set()).add(name)
             return

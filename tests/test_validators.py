@@ -177,6 +177,29 @@ def test_two_arg_signature_supported(spark):
     assert TwoArg(name="  a  ").name == "a"
 
 
+def test_validate_assignment_runs_decorators(spark):
+    class VA(Model):
+        model_config = {"validate_assignment": True}
+        name: str = Field(min_length=2)
+
+        @field_validator("name")
+        def title_it(cls, v, info):
+            if not v.strip():
+                raise ValueError("Name cannot be empty")
+            return v.title()
+
+    VA.validator(spark)
+    m = VA(name="ada lovelace")
+    assert m.name == "Ada Lovelace"
+    m.name = "grace hopper"  # assignment re-validates AND transforms
+    assert m.name == "Grace Hopper"
+    with pytest.raises(ModelValidationError):
+        m.name = "   "
+    with pytest.raises(ModelValidationError):
+        m.name = "x"  # min_length kernel still applies on assignment
+    assert m.name == "Grace Hopper"  # failed assignments don't stick
+
+
 # --- scale path (validate_df) ----------------------------------------------
 
 def test_validate_df_applies_field_validators(spark):
