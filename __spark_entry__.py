@@ -469,6 +469,34 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_planes=4, dims=64, multiprobe=1)
 
 
+def q_ann_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k on the ARROW path — the 100 TB configuration: one
+    numpy mapInPandas pass buckets, probe-filters, scores, and emits
+    per-batch local top-k (same machinery as the IVF arrow scorer);
+    gated against the SAME fully-SQL LSH oracle as the expr variant
+    (sign/rounding/tie-break parity)."""
+    from satya_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4, dims=64, impl="arrow")
+
+
+def q_ann_lsh_multiprobe_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH on the arrow path, same SQL oracle as expr."""
+    from satya_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(
+        emb, queries, k=5, n_planes=4, dims=64, multiprobe=1, impl="arrow"
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, full probe: mini-k-means index (DataFrame-native
     training, iters=2) with nprobe=k, which provably equals brute
@@ -730,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk": q_ann_topk,
             "ann_lsh_topk": q_ann_lsh_topk,
             "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+            "ann_lsh_arrow": q_ann_lsh_arrow,
+            "ann_lsh_multiprobe_arrow": q_ann_lsh_multiprobe_arrow,
             "ann_ivf_topk": q_ann_ivf_topk,
             "ann_ivf_pruned": q_ann_ivf_pruned,
             "ann_ivf_arrow": q_ann_ivf_arrow,
@@ -870,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_event_oracles())
     out["ann_lsh_topk"] = _lsh_oracle()
     out["ann_lsh_multiprobe"] = _lsh_oracle(multiprobe=1)
+    out["ann_lsh_arrow"] = _lsh_oracle()
+    out["ann_lsh_multiprobe_arrow"] = _lsh_oracle(multiprobe=1)
     out["ann_ivf_topk"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force
     out["ann_ivf_pruned"] = _ivf_pruned_oracle()
     out["ann_ivf_arrow"] = _doc_oracles()["ann_topk"]  # full probe ≡ brute force

@@ -67,8 +67,9 @@ DEDUP_HEADLINE = [
     "dedup_minhash",
     "dedup_minhash_tight",  # production banding: 2×4-row bands
     "dedup_simhash_pairs",
-    "dedup_embedding",
-    "ann_lsh_topk",
+    "dedup_embedding",  # arrow sketch + numpy pair-verify (r4)
+    "ann_lsh_topk",  # expr twin, kept for the r4 before/after
+    "ann_lsh_arrow",  # single-pass numpy scorer (7.6× the expr twin)
 ]
 
 

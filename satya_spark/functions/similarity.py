@@ -178,6 +178,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multiprobe: int = 0,
+    impl: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine rank within the bucket. With 2^p
@@ -188,7 +189,43 @@ def lsh_topk(
     multi-probe LSH recall knob: a near neighbor lost to a single
     straddled hyperplane is recovered at (n_planes+1)× probe cost,
     still a tiny fraction of the corpus. Only the QUERY side fans out;
-    the corpus keeps one bucket per vector."""
+    the corpus keeps one bucket per vector.
+
+    ``impl='expr'`` builds the bucket as constant-folded Catalyst
+    expressions and ranks via join + cosine fold (bit-exact SQL-oracle
+    parity). ``impl='arrow'`` is the 100 TB configuration: the same
+    single numpy Arrow pass as IVF (``_ivf_score_np`` with the
+    sign-sketch bucketing as the assigner) — bucket, probe-filter,
+    score, and per-batch local top-k in one scan, no pair set, no
+    interpreted fold. Sign parity caveat as sketch_buckets_np (differs
+    only within float noise of a zero plane dot product)."""
+    if impl == "arrow":
+        if multiprobe not in (0, 1):
+            raise ValueError("multiprobe supports 0 or 1 bit flips")
+        import numpy as np
+
+        planes = np.array(
+            [
+                [_plane_component("ann", p, d) for d in range(dims)]
+                for p in range(n_planes)
+            ]
+        )
+        pow2 = 2 ** np.arange(n_planes)
+
+        def assign(x, xn):
+            return ((x @ planes.T > 0) * pow2).sum(axis=1)
+
+        qinfo = []
+        for row in queries.select(F.col(query_id_col), F.col(vec_col)).collect():
+            v = np.asarray(row[vec_col], dtype=np.float64)
+            b0 = int(((v @ planes.T > 0) * pow2).sum())
+            probes = {b0} | (
+                {b0 ^ (1 << p) for p in range(n_planes)} if multiprobe else set()
+            )
+            qinfo.append((row[0], v, np.array(sorted(probes), dtype=np.int64)))
+        return _ivf_score_np(
+            corpus, qinfo, k, id_col, vec_col, query_id_col, assign=assign
+        )
     c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
     q = queries.select(
         F.col(query_id_col),
@@ -307,6 +344,7 @@ def _ivf_score_np(
     query_id_col: str,
     centroids: list[list[float]] | None = None,
     list_col: str = "__list",
+    assign: "object" = None,
 ) -> DataFrame:
     """ONE Arrow pass over the corpus: (optionally) assign each row's
     IVF list via the centroid matmul, then score every query against
@@ -321,17 +359,28 @@ def _ivf_score_np(
 
     ``qinfo``: [(query_id, np.ndarray vec, np.ndarray probe_lists)]
     collected driver-side — bounded by the query batch (the broadcast
-    side), same driver-small class as the centroid matrix."""
+    side), same driver-small class as the centroid matrix.
+
+    List membership per corpus row comes from (in precedence order):
+    ``assign(x, xn) -> int array`` (an arbitrary numpy bucketing —
+    the LSH sign sketch uses this), else the nearest-``centroids``
+    argmax, else a pre-existing ``list_col`` column (the persisted
+    index layout)."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
 
-    if centroids is not None:
+    if assign is None and centroids is not None:
         C = np.asarray(centroids, dtype=np.float64)
         cn = np.sqrt((C * C).sum(axis=1))
         cn[cn == 0] = 1.0
 
-    has_list = centroids is None
+        def assign(x, xn):  # noqa: F811 — the IVF default assigner
+            return np.round(
+                x @ C.T / (xn[:, None] * cn[None, :]), 6
+            ).argmax(axis=1)
+
+    has_list = assign is None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -344,9 +393,7 @@ def _ivf_score_np(
             if has_list:
                 lists = pdf[list_col].to_numpy()
             else:
-                lists = np.round(
-                    x @ C.T / (xn[:, None] * cn[None, :]), 6
-                ).argmax(axis=1)
+                lists = assign(x, xn)
             frames = []
             for qid, qv, probes in qinfo:
                 mask = np.isin(lists, probes) & (ids != qid)
@@ -701,6 +748,41 @@ def embedding_near_dup_pairs(
             "id_b",
         )
     )
+    if impl == "arrow":
+        # exact-cosine verify as one numpy batch op per Arrow batch —
+        # the join+fold twin below evaluates the interpreted
+        # F.aggregate HOF per pair (~9 µs/pair, BENCH.md r4); same
+        # 6-decimal rounding
+        import numpy as np
+        import pandas as pd
+        from typing import Iterator
+
+        def verify(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = np.stack(pdf["vec_a"].to_numpy()).astype(np.float64)
+                b = np.stack(pdf["vec_b"].to_numpy()).astype(np.float64)
+                an = np.sqrt((a * a).sum(axis=1))
+                bn = np.sqrt((b * b).sum(axis=1))
+                an[an == 0] = 1.0
+                bn[bn == 0] = 1.0
+                sims = np.round(
+                    np.einsum("ij,ij->i", a, b) / (an * bn), 6
+                )
+                m = sims >= threshold
+                if m.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": pdf["id_a"].to_numpy()[m],
+                            "id_b": pdf["id_b"].to_numpy()[m],
+                            "cos_sim": sims[m],
+                        }
+                    )
+
+        return j.select("id_a", "id_b", "vec_a", "vec_b").mapInPandas(
+            verify, schema="id_a long, id_b long, cos_sim double"
+        )
     sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
     return j.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
