@@ -239,6 +239,64 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_pair(_drift_pair(spark, sf_dir))
 
 
+def q_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(field, constraint) violation counters — the optimizer/
+    profiling error-counter surface (src/satya/profiling.py:15-40)
+    as an oracle-gated table instead of test-only."""
+    return (
+        _spark_violations(spark, sf_dir)
+        .groupBy("field", "constraint_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_violations_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded triage sample: first 3 violating rows per (field,
+    constraint) under the stable key order, via the two-phase salted
+    top-n (crossrow.violations_sample)."""
+    from satya_spark.crossrow import violations_sample
+
+    return violations_sample(_spark_violations(spark, sf_dir), KEYS, n=3)
+
+
+def q_top_violating_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-10 conversations by violation count — salted two-phase
+    count + TakeOrderedAndProject top-n (no full sort)."""
+    from satya_spark.crossrow import top_violating_groups
+
+    return top_violating_groups(
+        _spark_violations(spark, sf_dir), "conv_id", n=10
+    )
+
+
+def q_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile profile per numeric field (one aggregation
+    pass). The gate runs exact=True — the production default is the
+    mergeable Greenwald-Khanna sketch (approx_percentile), parity
+    vs exact is pytest-covered with a rank-error bound."""
+    from satya_spark.crossrow import column_quantiles
+
+    df = from_tpch(spark, sf_dir).select(
+        F.col("turn_idx").alias("turn_idx"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+    )
+    return column_quantiles(df, ["turn_idx", "text_len"], exact=True)
+
+
+def q_drift_psi_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role PSI of the text-length distribution vs the whole
+    table — localizes drift that a whole-table PSI averages away.
+    One scan: a single groupBy(role, bucket) histogram; reference
+    histogram derived from the tiny per-group frame."""
+    from satya_spark.drift import psi_by_group
+
+    df = from_tpch(spark, sf_dir).select(
+        F.coalesce(F.col("role"), F.lit("<null>")).alias("role"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+    )
+    return psi_by_group(df, "text_len", "role", width=200.0, n_buckets=20)
+
+
 def q_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coercion tier (SURVEY.md §2.4): str→int (try_cast null-on-fail,
     src/blaze_validator.rs:277-297), str→bool case-insensitive
@@ -742,6 +800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "null_rate": q_null_rate,
             "drift_psi": q_drift_psi,
             "drift_ks": q_drift_ks,
+            "drift_psi_grouped": q_drift_psi_grouped,
+            "violation_counts": q_violation_counts,
+            "violations_sample": q_violations_sample,
+            "top_violating_convs": q_top_violating_convs,
+            "column_quantiles": q_column_quantiles,
             "coercions": q_coercions,
             "stable_text": q_stable_text,
             "json_roundtrip": q_json_roundtrip,
@@ -875,6 +938,64 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(n_cur) OVER (ORDER BY bucket) AS DOUBLE) / t_cur AS c_cur "
         "FROM joined, tot) "
         "SELECT round(max(abs(c_ref - c_cur)), 6) AS ks_stat FROM cdf"
+    )
+    viol_sub = (
+        "(\n" + _COMPILED.violations_sql("transcripts", KEYS) + "\n) v"
+    )
+    out["violation_counts"] = _duck(
+        f"SELECT field, constraint_name, CAST(count(*) AS BIGINT) AS n "
+        f"FROM {viol_sub} GROUP BY field, constraint_name"
+    )
+    out["violations_sample"] = _duck(
+        f"SELECT conv_id, turn_idx, field, constraint_name, offending_value, "
+        f"CAST(rk AS INT) AS rk FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY field, constraint_name "
+        f"ORDER BY conv_id, turn_idx) AS rk FROM {viol_sub}) WHERE rk <= 3"
+    )
+    out["top_violating_convs"] = _duck(
+        f"SELECT conv_id, CAST(count(*) AS BIGINT) AS n_violations "
+        f"FROM {viol_sub} GROUP BY conv_id "
+        f"ORDER BY n_violations DESC, conv_id LIMIT 10"
+    )
+    quant_parts = []
+    for fld, expr_sql in [
+        ("turn_idx", "CAST(turn_idx AS DOUBLE)"),
+        ("text_len", "CAST(coalesce(length(text), 0) AS DOUBLE)"),
+    ]:
+        quant_parts.append(
+            f"SELECT '{fld}' AS field, "
+            f"round(quantile_cont({expr_sql}, 0.25), 6) AS q25, "
+            f"round(quantile_cont({expr_sql}, 0.50), 6) AS q50, "
+            f"round(quantile_cont({expr_sql}, 0.75), 6) AS q75 "
+            f"FROM transcripts"
+        )
+    out["column_quantiles"] = _duck(" UNION ALL ".join(quant_parts))
+    gpsi_cte = (
+        ", gsrc AS (SELECT coalesce(role, '<null>') AS grp, "
+        "greatest(least(CAST(floor(coalesce(length(text), 0) / 200.0) AS INT),"
+        " 19), 0) AS bucket FROM transcripts), "
+        "h AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM gsrc GROUP BY grp, bucket), "
+        "gh AS (SELECT bucket, sum(n) AS n_ref FROM h GROUP BY bucket), "
+        "grid AS (SELECT g.grp, r.bucket FROM (SELECT DISTINCT grp FROM h) g "
+        "CROSS JOIN (SELECT CAST(range AS INT) AS bucket FROM range(20)) r), "
+        "joined AS (SELECT grid.grp, grid.bucket, "
+        "coalesce(h.n, 0) AS n_cur, coalesce(gh.n_ref, 0) AS n_ref "
+        "FROM grid LEFT JOIN h ON grid.grp = h.grp AND grid.bucket = h.bucket "
+        "LEFT JOIN gh ON grid.bucket = gh.bucket), "
+        "tot AS (SELECT grp, sum(n_cur) AS t_cur FROM joined GROUP BY grp), "
+        "tref AS (SELECT sum(n) AS t_ref FROM h)"
+    )
+    out["drift_psi_grouped"] = _duck(
+        gpsi_cte
+        + " SELECT joined.grp, "
+        "round(sum((CAST(n_ref AS DOUBLE)/t_ref + 1e-06"
+        " - CAST(n_cur AS DOUBLE)/t_cur - 1e-06)"
+        " * ln((CAST(n_ref AS DOUBLE)/t_ref + 1e-06)"
+        " / (CAST(n_cur AS DOUBLE)/t_cur + 1e-06))), 6) AS psi, "
+        "CAST(sum(n_cur) AS BIGINT) AS n_rows "
+        "FROM joined JOIN tot ON joined.grp = tot.grp CROSS JOIN tref "
+        "GROUP BY joined.grp"
     )
     out["coercions"] = _duck(
         "SELECT conv_id, turn_idx, "

@@ -58,6 +58,12 @@ HEADLINE = [
     "column_stats",
     "drift_psi",
     "drift_ks",
+    # triage tier (r4): bounded violation sample, per-group drift,
+    # exact quantile profile — all driver-small outputs
+    "violations_sample",
+    "top_violating_convs",
+    "drift_psi_grouped",
+    "column_quantiles",
 ]
 
 # LLM-pipeline tier (VERDICT r2 #4): timed via .count() — engine work
@@ -275,6 +281,26 @@ def phase1(cpus: int, sf_dir: str, fixture_path: str, staged: str) -> None:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm
         times[name] = round(_best(lambda: fn(spark, sf_dir).count(), n=3), 3)
+    # production quantile path: the mergeable GK sketch
+    # (approx_percentile) vs the exact sort-based config the oracle
+    # gate runs — the sketch is the 10^12-row configuration
+    from satya_spark.crossrow import column_quantiles
+    from satya_spark.transcripts import from_tpch
+
+    qdf = from_tpch(spark, sf_dir).select(
+        F.col("turn_idx"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+    )
+    column_quantiles(qdf, ["turn_idx", "text_len"], exact=False).collect()
+    times["column_quantiles_approx"] = round(
+        _best(
+            lambda: column_quantiles(
+                qdf, ["turn_idx", "text_len"], exact=False
+            ).collect(),
+            n=3,
+        ),
+        3,
+    )
     synthesize(spark, n_conv=N_CONV, partitions=32).write.mode(
         "overwrite"
     ).parquet(staged)

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -194,3 +194,135 @@ def conv_stats(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
         "avg_text_len",
         F.round(F.col("sum_text_len").cast("double") / F.col("n_turns"), 4),
     )
+
+
+def violations_sample(
+    viol: DataFrame,
+    key_cols: Sequence[str],
+    n: int = 5,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic per-(field, constraint) violation sample: the
+    first ``n`` violating rows of each constraint under the stable
+    ``key_cols`` order, with their rank.
+
+    Why it exists: satya's error accumulation keeps EVERY violation
+    (``src/satya/validator.py:219-275``) — the right semantics per
+    record, but at 10^12 turns a single mis-deployed constraint can
+    emit 10^10 violation rows, and "show me a few examples per
+    constraint" is the actual triage query. This is that query with a
+    bounded output: ≤ n × |constraints| rows.
+
+    Scale shape (100 TB design point): a single window over
+    (field, constraint_name) funnels every violation of a hot
+    constraint through ONE reduce task — exactly the skew the north
+    rule calls out. So: two-phase top-n, same trick as
+    :func:`salted_agg`:
+
+    * phase 1 ranks within (field, constraint_name, salt) — a hot
+      constraint fans out over ``salt_buckets`` tasks; each emits at
+      most ``n`` survivors. Any global top-n row is a per-salt top-n
+      row, so this is a lossless candidate filter.
+    * phase 2 re-ranks the ≤ n × salt_buckets × |constraints|
+      candidates globally — a trivially small window.
+
+    Output: (*key_cols, field, constraint_name, offending_value, rk)
+    with rk in 1..n.
+    """
+    order = [F.col(k) for k in key_cols]
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(salt_buckets))
+    w1 = Window.partitionBy("field", "constraint_name", "__salt").orderBy(*order)
+    phase1 = (
+        viol.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= n)
+        .drop("__salt", "__rn")
+    )
+    w2 = Window.partitionBy("field", "constraint_name").orderBy(*order)
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= n)
+        .select(*key_cols, "field", "constraint_name", "offending_value", "rk")
+    )
+
+
+def column_quantiles(
+    df: DataFrame,
+    fields: Iterable[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One output row per field: (field, p25, p50, ... one column per
+    requested quantile, rounded to 6 places). All fields' quantiles
+    come from ONE aggregation pass, unpivoted driver-side via a
+    ``stack`` over the single aggregate row (same shape as
+    :func:`column_stats`).
+
+    ``exact=False`` (production default) uses ``approx_percentile``
+    (Greenwald-Khanna sketch): a mergeable map-side summary whose
+    size depends on ``accuracy``, not on row count — the only sane
+    choice at 10^12 rows, with rank error ≤ 1/accuracy documented
+    rather than silent. ``exact=True`` uses ``percentile`` (exact
+    linear interpolation, same definition as SQL ``quantile_cont``)
+    and exists for the DuckDB differential oracle and small tables.
+    """
+    fields = list(fields)
+    probs = list(probs)
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    aggs = []
+    for f in fields:
+        c = F.col(f).cast("double")
+        if exact:
+            aggs.append(F.percentile(c, parr).alias(f"__q_{f}"))
+        else:
+            aggs.append(
+                F.percentile_approx(c, parr, F.lit(accuracy)).alias(f"__q_{f}")
+            )
+    row = df.agg(*aggs)
+    names = [f"q{int(round(p * 100)):02d}" for p in probs]
+    stack_args = []
+    for f in fields:
+        qs = ", ".join(
+            f"round(__q_{f}[{i}], 6)" for i in range(len(probs))
+        )
+        stack_args.append(f"'{f}', {qs}")
+    return row.select(
+        F.expr(
+            f"stack({len(fields)}, {', '.join(stack_args)}) "
+            f"AS (field, {', '.join(names)})"
+        )
+    )
+
+
+def top_violating_groups(
+    viol: DataFrame,
+    group_col: str,
+    n: int = 10,
+    salt_buckets: int = 32,
+    salt_source: str = "turn_idx",
+) -> DataFrame:
+    """The ``n`` groups (conversations) with the most violation rows:
+    (group, n_violations), ordered worst-first — the "which
+    conversations are broken" triage view.
+
+    Scale shape: count per group via :func:`salted_agg` (hot
+    conversations fan out over the salt), then a global top-n over
+    the per-group counts. The final ordering window is over one row
+    per group; for 10^9 groups the rank-by-count would itself need a
+    two-phase top-n, so we take ``orderBy(...).limit(n)`` — Spark
+    executes that as TakeOrderedAndProject: per-partition heap of n,
+    driver merge of ≤ partitions × n rows. No full sort, no single
+    hot reduce task.
+    """
+    counts = salted_agg(
+        viol,
+        group_col,
+        partials={"pc": F.count(F.lit(1))},
+        finals={"n_violations": F.sum("pc")},
+        salt_buckets=salt_buckets,
+        salt_source=salt_source,
+    )
+    return counts.orderBy(
+        F.col("n_violations").desc(), F.col(group_col)
+    ).limit(n)

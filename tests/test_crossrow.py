@@ -82,3 +82,89 @@ def test_salted_conv_stats_matches_plain(spark):
     }
     assert salted == plain
     assert salted["c0"][0] == 500  # hot conversation fully counted
+
+
+def _viol_fixture(spark):
+    """Small violations frame: (conv_id, turn_idx, field,
+    constraint_name, offending_value) with a deliberately hot
+    constraint."""
+    rows = []
+    for i in range(40):
+        rows.append((f"c{i:03d}", i % 7, "text", "min_length", "x"))
+    for i in range(5):
+        rows.append((f"c{i:03d}", 99, "role", "enum", "ghost"))
+    rows.append(("c000", 0, "tool", "pattern", "?"))
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "field", "constraint_name", "offending_value"]
+    )
+
+
+def test_violations_sample_matches_single_window(spark):
+    """Two-phase salted top-n ≡ the naive one-window top-n, for every
+    salt factor (the salt is a lossless candidate filter)."""
+    from pyspark.sql import Window
+
+    viol = _viol_fixture(spark)
+    w = Window.partitionBy("field", "constraint_name").orderBy("conv_id", "turn_idx")
+    naive = (
+        viol.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("conv_id", "turn_idx", "field", "constraint_name", "offending_value", "rk")
+    )
+    expect = sorted(tuple(r) for r in naive.collect())
+    for buckets in (1, 2, 32):
+        got = crossrow.violations_sample(
+            viol, ["conv_id", "turn_idx"], n=3, salt_buckets=buckets
+        )
+        assert sorted(tuple(r) for r in got.collect()) == expect
+
+
+def test_violations_sample_bounded_output(spark):
+    viol = _viol_fixture(spark)
+    out = crossrow.violations_sample(viol, ["conv_id", "turn_idx"], n=2).collect()
+    # ≤ n rows per (field, constraint), ranks are 1..n
+    from collections import Counter
+
+    per = Counter((r["field"], r["constraint_name"]) for r in out)
+    assert all(v <= 2 for v in per.values())
+    assert {r["rk"] for r in out} <= {1, 2}
+    # the hot constraint is capped, not enumerated
+    assert per[("text", "min_length")] == 2
+
+
+def test_top_violating_groups(spark):
+    viol = _viol_fixture(spark)
+    top = crossrow.top_violating_groups(viol, "conv_id", n=3).collect()
+    # c000: 1 (min_length) + 1 (enum) + 1 (pattern) = 3; c001..c004: 2 each
+    assert [r["conv_id"] for r in top] == ["c000", "c001", "c002"]
+    assert [r["n_violations"] for r in top] == [3, 2, 2]
+
+
+def test_column_quantiles_exact_matches_numpy(spark):
+    import numpy as np
+
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    row = crossrow.column_quantiles(df, ["x"], exact=True).collect()[0]
+    assert row["field"] == "x"
+    for name, p in [("q25", 25), ("q50", 50), ("q75", 75)]:
+        assert abs(row[name] - float(np.percentile(vals, p))) < 1e-9
+
+
+def test_column_quantiles_approx_near_exact(spark):
+    """Production GK-sketch path stays within the documented rank
+    error of the exact path on a 10k-row frame."""
+    df = spark.range(10_000).select((F.col("id") % 997).cast("double").alias("x"))
+    exact = crossrow.column_quantiles(df, ["x"], exact=True).collect()[0]
+    approx = crossrow.column_quantiles(df, ["x"], exact=False).collect()[0]
+    # rank error 1/accuracy=1e-4 over 10k rows ≈ ±1 rank ≈ ±1 value here
+    for name in ("q25", "q50", "q75"):
+        assert abs(exact[name] - approx[name]) <= 2.0
+
+
+def test_column_quantiles_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,), (5.0,)], "x double"
+    )
+    row = crossrow.column_quantiles(df, ["x"], exact=True).collect()[0]
+    assert row["q50"] == 3.0
