@@ -335,6 +335,10 @@ def phase_stream(cpus: int, tmp_root: str) -> None:
     # startups (~7 s fixed across both checkpointed runs) stop
     # dominating the rows/s — see BENCH.md r4 streaming breakdown
     n_conv = int(os.environ.get("SATYA_BENCH_STREAM_NCONV", "360000"))
+    # before the JVM starts: the TWS worker processes inherit this env
+    from satya_spark.streaming.tws_support import ensure_protobuf_pythonpath
+
+    ensure_protobuf_pythonpath()
     spark = _session(cpus)
     all_dir = os.path.join(tmp_root, "stream_all")
     in_dir = os.path.join(tmp_root, "stream_in")
@@ -417,6 +421,45 @@ def phase_stream(cpus: int, tmp_root: str) -> None:
 
     exactly_once = totals["rows"] == gt_rows and totals["invalid"] == gt_invalid
     anomalies = spark.read.parquet(out_s).count()
+
+    # solo stateful-runtime comparison over the full input (fresh
+    # checkpoints, single query — no concurrent kernel stream):
+    # applyInPandasWithState packed-bucket state vs transformWithState
+    # (RocksDB, per-conv MapState entries). TWS is skipped when its
+    # protobuf runtime is absent (tws_support gates it).
+    from satya_spark.streaming.tws_support import ROCKSDB_PROVIDER, tws_available
+
+    def solo_state(tag: str, build) -> float:
+        ck = os.path.join(tmp_root, f"ck_solo_{tag}")
+        op = os.path.join(tmp_root, f"out_solo_{tag}")
+        t0 = time.monotonic()
+        q = (
+            build(spark.readStream.schema(schema).parquet(in_dir))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", op)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(900)
+        return time.monotonic() - t0
+
+    solo: dict = {}
+    t_aipws = solo_state(
+        "aipws", lambda s: stateful_turn_checks(s, bucket_by=4096)
+    )
+    solo["stateful_aipws_rows_per_sec"] = round(gt_rows / t_aipws)
+    if tws_available():
+        from satya_spark.streaming.stateful_tws import stateful_turn_checks_tws
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+        t_tws = solo_state(
+            "tws", lambda s: stateful_turn_checks_tws(s, bucket_by=4096)
+        )
+        spark.conf.unset(key)
+        solo["stateful_tws_rows_per_sec"] = round(gt_rows / t_tws)
     print(
         json.dumps(
             {
@@ -429,6 +472,7 @@ def phase_stream(cpus: int, tmp_root: str) -> None:
                 "stateful_anomaly_rows": anomalies,
                 "state_survived_restart": anomalies >= replayed_rows,
                 "resumed_from_checkpoint": True,
+                **solo,
             }
         )
     )

@@ -1,0 +1,180 @@
+"""transformWithStateInPandas variant of the stateful turn checks.
+
+Same per-conversation verdict semantics as
+:mod:`satya_spark.streaming.stateful` (duplicate / regressed turn
+detection against accumulated per-conversation history — the operator
+satya's record-scope validators can't express and Spark's built-in
+streaming aggregations can't emit row verdicts for), but on Spark 4's
+``transformWithState`` runtime instead of ``applyInPandasWithState``:
+
+* State lives in the **RocksDB state-store provider** (required by
+  transformWithState) instead of the HDFS-backed in-memory map —
+  state size is bounded by disk, not executor heap, and commits are
+  incremental (changelog), the configuration a 10^12-turn stream
+  actually needs.
+* The bucketed configuration keeps one state GROUP per hash bucket
+  (amortizing per-group dispatch exactly like the
+  applyInPandasWithState variant) but holds each conversation as its
+  own **MapState entry** — a point read/write per touched
+  conversation, instead of rewriting the whole bucket's packed
+  arrays every micro-batch. At 10^5 convs/bucket with 10 touched per
+  batch, the applyInPandasWithState variant re-serializes all 10^5
+  every commit; this one touches 10.
+
+Semantics parity with the applyInPandasWithState operator is pinned
+in tests/test_stateful_streaming.py (same inputs → identical verdict
+sets through both runtimes).
+
+Caveats (honest): idle-state eviction here would use per-key TTL
+(``ttlDurationMs`` on the state handle) rather than GroupStateTimeout;
+drain-style runs (availableNow) leave TTL off, like the timeout=0
+default of the sibling operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from .stateful import OUTPUT_SCHEMA, STATE_CAP
+
+_VALUE_SCHEMA = "max_turn int, seen array<int>, capped boolean"
+_KEY_SCHEMA = "conv_id string"
+
+
+def _check_turns(conv_id, turns, max_turn, seen, capped, out_rows):
+    """Shared verdict kernel: mutates ``seen``/appends to
+    ``out_rows``; returns (max_turn, seen, capped). Identical logic
+    to stateful._validate_conv_impl (parity-pinned)."""
+    for t in turns:
+        t = int(t)
+        if t in seen:
+            out_rows.append((conv_id, t, "duplicate_turn", max_turn, capped))
+        elif t < max_turn:
+            out_rows.append((conv_id, t, "regressed_turn", max_turn, capped))
+        max_turn = max(max_turn, t)
+        seen.add(t)
+        if len(seen) > STATE_CAP:
+            seen = set(sorted(seen)[-STATE_CAP:])
+            capped = True
+    return max_turn, seen, capped
+
+
+class ConvTurnProcessor(StatefulProcessor):
+    """Grouping key = conv_id; one ValueState per conversation."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("conv", _VALUE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if self._state.exists():
+            max_turn, seen_list, capped = self._state.get()
+            seen = set(seen_list)
+        else:
+            max_turn, seen, capped = -1, set(), False
+        out_rows: list = []
+        for pdf in rows:
+            max_turn, seen, capped = _check_turns(
+                conv_id, pdf["turn_idx"].to_numpy(), max_turn, seen, capped, out_rows
+            )
+        self._state.update((max_turn, sorted(seen), capped))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["conv_id", "turn_idx", "anomaly", "max_seen", "state_capped"],
+            )
+
+    def close(self) -> None:
+        pass
+
+
+class BucketTurnProcessor(StatefulProcessor):
+    """Grouping key = hash bucket; one MapState ENTRY per
+    conversation — point reads/writes for touched convs only (the
+    RocksDB-native layout; the packed-array bucket state of the
+    applyInPandasWithState variant rewrites every conv per commit)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._convs = handle.getMapState("convs", _KEY_SCHEMA, _VALUE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        out_rows: list = []
+        # batch-local cache: a conv touched by several pdfs reads
+        # state once and writes once
+        local: dict = {}
+        for pdf in rows:
+            for conv_id, sub in pdf.groupby("conv_id", sort=False):
+                if conv_id in local:
+                    max_turn, seen, capped = local[conv_id]
+                else:
+                    st = self._convs.getValue((conv_id,))
+                    if st is not None:
+                        max_turn, seen, capped = st[0], set(st[1]), st[2]
+                    else:
+                        max_turn, seen, capped = -1, set(), False
+                local[conv_id] = _check_turns(
+                    conv_id,
+                    sub["turn_idx"].to_numpy(),
+                    max_turn,
+                    seen,
+                    capped,
+                    out_rows,
+                )
+        for conv_id, (max_turn, seen, capped) in local.items():
+            self._convs.updateValue((conv_id,), (max_turn, sorted(seen), capped))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["conv_id", "turn_idx", "anomaly", "max_seen", "state_capped"],
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_turn_checks_tws(
+    stream_df: DataFrame, bucket_by: int = 0
+) -> DataFrame:
+    """transformWithState twin of
+    :func:`satya_spark.streaming.stateful.stateful_turn_checks`.
+
+    Requires the RocksDB state-store provider on the session::
+
+        spark.sql.streaming.stateStore.providerClass =
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+
+    ``bucket_by > 0`` compacts the grouping key space into hash
+    buckets (dispatch amortization) while keeping per-conversation
+    MapState entries (point writes). ``bucket_by = 0`` keys groups by
+    conv_id directly with one ValueState each.
+    """
+    base = stream_df.select("conv_id", "turn_idx")
+    if bucket_by > 0:
+        from pyspark.sql import functions as F
+
+        return (
+            base.withColumn(
+                "__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(bucket_by))
+            )
+            .groupBy("__bucket")
+            .transformWithStateInPandas(
+                BucketTurnProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            )
+        )
+    return base.groupBy("conv_id").transformWithStateInPandas(
+        ConvTurnProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

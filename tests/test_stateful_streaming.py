@@ -144,3 +144,71 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(str(outdir)).collect()
     ]
     assert rows.count(("c1", 0, "duplicate_turn")) == 2
+
+
+def _run_tws_batch(spark, indir, ckpt, outdir, **kw):
+    from satya_spark.streaming.stateful_tws import stateful_turn_checks_tws
+    from satya_spark.streaming.tws_support import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = spark.readStream.schema(SCHEMA).json(str(indir))
+        q = (
+            stateful_turn_checks_tws(stream, **kw)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_tws_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """transformWithState twin (RocksDB state store, MapState
+    per-conversation entries in bucketed mode) emits IDENTICAL
+    verdicts to the applyInPandasWithState operator, including
+    cross-micro-batch state — both per-conv and bucketed keying."""
+    import pytest
+
+    from satya_spark.streaming.tws_support import tws_available
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime for transformWithState here")
+
+    rows1 = [
+        {"conv_id": f"c{i}", "turn_idx": t}
+        for i in range(30)
+        for t in ([0, 1, 2] if i % 3 else [2, 0, 0])
+    ]
+    rows2 = [{"conv_id": f"c{i}", "turn_idx": 1} for i in range(0, 30, 3)]
+
+    outs = {}
+    runs = [
+        ("aipws", _run_batch, {}),
+        ("tws_conv", _run_tws_batch, {}),
+        ("tws_bucket", _run_tws_batch, {"bucket_by": 4}),
+    ]
+    for name, runner, kw in runs:
+        indir = tmp_path / f"in_{name}"
+        indir.mkdir()
+        ckpt, outdir = tmp_path / f"ck_{name}", tmp_path / f"out_{name}"
+        _write(indir / "b1.ndjson", rows1)
+        runner(spark, indir, ckpt, outdir, **kw)
+        _write(indir / "b2.ndjson", rows2)
+        runner(spark, indir, ckpt, outdir, **kw)
+        outs[name] = sorted(
+            (r["conv_id"], r["turn_idx"], r["anomaly"], r["max_seen"])
+            for r in spark.read.parquet(str(outdir)).collect()
+        )
+    assert outs["aipws"], "fixture must produce anomalies"
+    assert outs["tws_conv"] == outs["aipws"]
+    assert outs["tws_bucket"] == outs["aipws"]
