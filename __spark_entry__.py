@@ -297,6 +297,21 @@ def q_drift_psi_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_by_group(df, "text_len", "role", width=200.0, n_buckets=20)
 
 
+def q_events_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI of the event-value distribution vs the whole month
+    (drift.psi_by_group over event time) — the 'which ingestion day
+    went bad' check on a second table/metric, same one-scan grouped
+    histogram."""
+    from satya_spark.drift import psi_by_group
+    from satya_spark.eventfix import events_from_testdata
+
+    ev = events_from_testdata(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+    return psi_by_group(ev, "value", "day", width=25.0, n_buckets=20)
+
+
 def q_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coercion tier (SURVEY.md §2.4): str→int (try_cast null-on-fail,
     src/blaze_validator.rs:277-297), str→bool case-insensitive
@@ -831,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding": q_dedup_embedding,
             "dedup_embedding_expr": q_dedup_embedding_expr,
             "media_features": q_media_features,
+            "events_drift_daily": q_events_drift_daily,
             "events_validate": q_events_validate,
             "events_referential": q_events_referential,
             "events_sessions": q_events_sessions,
@@ -1210,6 +1226,30 @@ def _event_oracles() -> dict[str, str]:
     o["events_referential"] = W + (
         " SELECT user_id, event_id FROM ev WHERE user_id IS NOT NULL "
         "AND user_id NOT IN (SELECT c_custkey FROM customer)"
+    )
+    o["events_drift_daily"] = W + (
+        ", gsrc AS (SELECT strftime(ts, '%Y-%m-%d') AS grp, "
+        "greatest(least(CAST(floor(coalesce(value, 0.0) / 25.0) AS INT),"
+        " 19), 0) AS bucket FROM ev), "
+        "h AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM gsrc GROUP BY grp, bucket), "
+        "gh AS (SELECT bucket, sum(n) AS n_ref FROM h GROUP BY bucket), "
+        "grid AS (SELECT g.grp, r.bucket FROM (SELECT DISTINCT grp FROM h) g "
+        "CROSS JOIN (SELECT CAST(range AS INT) AS bucket FROM range(20)) r), "
+        "joined AS (SELECT grid.grp, grid.bucket, "
+        "coalesce(h.n, 0) AS n_cur, coalesce(gh.n_ref, 0) AS n_ref "
+        "FROM grid LEFT JOIN h ON grid.grp = h.grp AND grid.bucket = h.bucket "
+        "LEFT JOIN gh ON grid.bucket = gh.bucket), "
+        "tot AS (SELECT grp, sum(n_cur) AS t_cur FROM joined GROUP BY grp), "
+        "tref AS (SELECT sum(n) AS t_ref FROM h) "
+        "SELECT joined.grp, "
+        "round(sum((CAST(n_ref AS DOUBLE)/t_ref + 1e-06"
+        " - CAST(n_cur AS DOUBLE)/t_cur - 1e-06)"
+        " * ln((CAST(n_ref AS DOUBLE)/t_ref + 1e-06)"
+        " / (CAST(n_cur AS DOUBLE)/t_cur + 1e-06))), 6) AS psi, "
+        "CAST(sum(n_cur) AS BIGINT) AS n_rows "
+        "FROM joined JOIN tot ON joined.grp = tot.grp CROSS JOIN tref "
+        "GROUP BY joined.grp"
     )
     o["events_sessions"] = W + (
         ", s AS (SELECT user_id, event_id, value, "

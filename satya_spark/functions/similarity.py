@@ -50,6 +50,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _rank_topk(
+    scored: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact, deterministic per-query top-k over (query_id, id,
+    cos_sim) candidate rows — with a BOUNDED reduce task: phase 1
+    ranks within (query, salt-of-candidate-id), so a query whose
+    probe set is 10^10 candidates fans out over ``salt_buckets``
+    tasks each emitting ≤ k survivors; phase 2 re-ranks the
+    ≤ k × salt_buckets rows per query. Lossless (any global top-k row
+    is a per-salt top-k row) — identical output to the single-window
+    rank, same two-phase trick as crossrow.violations_sample. Ties
+    break on ascending id so the result is total-order deterministic
+    (and matches the SQL oracles' ORDER BY)."""
+    order = [F.desc("cos_sim"), F.asc(id_col)]
+    w1 = Window.partitionBy(query_id_col, "__salt").orderBy(*order)
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,15 +101,12 @@ def brute_force_topk(
     )
     j = corpus.crossJoin(q).filter(F.col(query_id_col) != F.col(id_col))
     sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
+    return _rank_topk(
+        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim")),
+        query_id_col,
+        id_col,
+        k,
     )
-    ranked = (
-        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    return ranked.select(query_id_col, "rank", id_col, "cos_sim")
 
 
 # --- LSH scale path --------------------------------------------------------
@@ -254,12 +284,11 @@ def lsh_topk(
         F.col(query_id_col) != F.col(id_col)
     )
     sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cos_sim")
+    return _rank_topk(
+        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim")),
+        query_id_col,
+        id_col,
+        k,
     )
 
 
@@ -566,12 +595,11 @@ def ivf_topk(
         F.col(query_id_col) != F.col(id_col)
     )
     sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cos_sim")
+    return _rank_topk(
+        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim")),
+        query_id_col,
+        id_col,
+        k,
     )
 
 
@@ -665,12 +693,11 @@ def ivf_topk_indexed(
         F.col(query_id_col) != F.col(id_col)
     )
     sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, "cos_sim")
+    return _rank_topk(
+        j.select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim")),
+        query_id_col,
+        id_col,
+        k,
     )
 
 
