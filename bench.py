@@ -458,8 +458,15 @@ def phase_stream(cpus: int, tmp_root: str) -> None:
         t_tws = solo_state(
             "tws", lambda s: stateful_turn_checks_tws(s, bucket_by=4096)
         )
+        solo["stateful_tws_map_rows_per_sec"] = round(gt_rows / t_tws)
+        t_twsp = solo_state(
+            "twsp",
+            lambda s: stateful_turn_checks_tws(
+                s, bucket_by=4096, layout="packed"
+            ),
+        )
+        solo["stateful_tws_packed_rows_per_sec"] = round(gt_rows / t_twsp)
         spark.conf.unset(key)
-        solo["stateful_tws_rows_per_sec"] = round(gt_rows / t_tws)
     print(
         json.dumps(
             {

@@ -140,8 +140,66 @@ class BucketTurnProcessor(StatefulProcessor):
         pass
 
 
+_PACKED_SCHEMA = (
+    "conv_ids array<string>, max_turns array<int>, "
+    "seens array<array<int>>, caps array<boolean>"
+)
+
+
+class PackedBucketTurnProcessor(StatefulProcessor):
+    """Bucket-keyed TWS variant with the applyInPandasWithState
+    PACKED layout: one ValueState per bucket holding every conv as
+    parallel arrays — 2 state RPCs per bucket per micro-batch instead
+    of 2 per TOUCHED CONV. Exists to separate the transformWithState
+    protocol cost from the state-layout cost (BENCH.md r4): point
+    MapState entries win when resident state outgrows memory;
+    packed wins while per-bucket state serializes cheaply."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("bucket", _PACKED_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            conv_ids, max_turns, seens, caps = self._state.get()
+            st = {
+                c: (m, set(s), cp)
+                for c, m, s, cp in zip(conv_ids, max_turns, seens, caps)
+            }
+        else:
+            st = {}
+        out_rows: list = []
+        for pdf in rows:
+            for conv_id, sub in pdf.groupby("conv_id", sort=False):
+                max_turn, seen, capped = st.get(conv_id, (-1, set(), False))
+                st[conv_id] = _check_turns(
+                    conv_id,
+                    sub["turn_idx"].to_numpy(),
+                    max_turn,
+                    seen,
+                    capped,
+                    out_rows,
+                )
+        items = sorted(st.items())
+        self._state.update(
+            (
+                [c for c, _ in items],
+                [v[0] for _, v in items],
+                [sorted(v[1]) for _, v in items],
+                [v[2] for _, v in items],
+            )
+        )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["conv_id", "turn_idx", "anomaly", "max_seen", "state_capped"],
+            )
+
+    def close(self) -> None:
+        pass
+
+
 def stateful_turn_checks_tws(
-    stream_df: DataFrame, bucket_by: int = 0
+    stream_df: DataFrame, bucket_by: int = 0, layout: str = "map"
 ) -> DataFrame:
     """transformWithState twin of
     :func:`satya_spark.streaming.stateful.stateful_turn_checks`.
@@ -152,21 +210,30 @@ def stateful_turn_checks_tws(
           org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
 
     ``bucket_by > 0`` compacts the grouping key space into hash
-    buckets (dispatch amortization) while keeping per-conversation
-    MapState entries (point writes). ``bucket_by = 0`` keys groups by
+    buckets (dispatch amortization); ``layout`` picks the bucket's
+    state shape — ``"map"`` = one MapState entry per conversation
+    (point writes; the state-outgrows-memory configuration) or
+    ``"packed"`` = one ValueState of parallel arrays per bucket
+    (2 RPCs/bucket/batch; wins while resident state is cheap to
+    re-serialize — see BENCH.md r4). ``bucket_by = 0`` keys groups by
     conv_id directly with one ValueState each.
     """
     base = stream_df.select("conv_id", "turn_idx")
     if bucket_by > 0:
         from pyspark.sql import functions as F
 
+        proc = (
+            PackedBucketTurnProcessor()
+            if layout == "packed"
+            else BucketTurnProcessor()
+        )
         return (
             base.withColumn(
                 "__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(bucket_by))
             )
             .groupBy("__bucket")
             .transformWithStateInPandas(
-                BucketTurnProcessor(),
+                proc,
                 outputStructType=OUTPUT_SCHEMA,
                 outputMode="append",
                 timeMode="none",

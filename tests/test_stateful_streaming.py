@@ -196,6 +196,7 @@ def test_tws_matches_apply_in_pandas_with_state(spark, tmp_path):
         ("aipws", _run_batch, {}),
         ("tws_conv", _run_tws_batch, {}),
         ("tws_bucket", _run_tws_batch, {"bucket_by": 4}),
+        ("tws_packed", _run_tws_batch, {"bucket_by": 4, "layout": "packed"}),
     ]
     for name, runner, kw in runs:
         indir = tmp_path / f"in_{name}"
@@ -212,3 +213,4 @@ def test_tws_matches_apply_in_pandas_with_state(spark, tmp_path):
     assert outs["aipws"], "fixture must produce anomalies"
     assert outs["tws_conv"] == outs["aipws"]
     assert outs["tws_bucket"] == outs["aipws"]
+    assert outs["tws_packed"] == outs["aipws"]
