@@ -312,6 +312,22 @@ def q_events_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_by_group(ev, "value", "day", width=25.0, n_buckets=20)
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field profile delta (null rate, distinct count) between
+    the even- and odd-orderkey conversation snapshots — the cheap
+    always-on companion to the PSI/KS distribution checks. Exact
+    distincts for oracle comparability (production default is HLL)."""
+    from satya_spark.crossrow import profile_drift
+
+    df = from_tpch(spark, sf_dir)
+    half = F.expr("CAST(substring(conv_id, 2) AS BIGINT)") % 2
+    old = df.filter(half == 0)
+    new = df.filter(half == 1)
+    return profile_drift(
+        old, new, ["role", "tool", "meta_email", "text"], exact_distinct=True
+    )
+
+
 def q_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coercion tier (SURVEY.md §2.4): str→int (try_cast null-on-fail,
     src/blaze_validator.rs:277-297), str→bool case-insensitive
@@ -816,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "drift_psi": q_drift_psi,
             "drift_ks": q_drift_ks,
             "drift_psi_grouped": q_drift_psi_grouped,
+            "profile_drift": q_profile_drift,
             "violation_counts": q_violation_counts,
             "violations_sample": q_violations_sample,
             "top_violating_convs": q_top_violating_convs,
@@ -1012,6 +1029,27 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(n_cur) AS BIGINT) AS n_rows "
         "FROM joined JOIN tot ON joined.grp = tot.grp CROSS JOIN tref "
         "GROUP BY joined.grp"
+    )
+    pd_parts = []
+    for fld in ["role", "tool", "meta_email", "text"]:
+        pd_parts.append(
+            f"SELECT '{fld}' AS field, "
+            f"CAST(count(CASE WHEN {fld} IS NULL THEN 1 END) AS DOUBLE)"
+            f" / count(*) AS nr, "
+            f"CAST(count(DISTINCT {fld}) AS BIGINT) AS nd, half FROM halves"
+            f" GROUP BY half"
+        )
+    out["profile_drift"] = _duck(
+        ", halves AS (SELECT *, CAST(substring(conv_id, 2) AS BIGINT) % 2"
+        " AS half FROM transcripts), "
+        "p AS (" + " UNION ALL ".join(pd_parts) + "), "
+        "o AS (SELECT field, nr AS nro, nd AS ndo FROM p WHERE half = 0), "
+        "n AS (SELECT field, nr AS nrn, nd AS ndn FROM p WHERE half = 1) "
+        "SELECT o.field, round(nro, 6) AS null_rate_old, "
+        "round(nrn, 6) AS null_rate_new, "
+        "round(nrn - nro, 6) AS null_rate_delta, "
+        "ndo AS n_distinct_old, ndn AS n_distinct_new "
+        "FROM o JOIN n ON o.field = n.field"
     )
     out["coercions"] = _duck(
         "SELECT conv_id, turn_idx, "

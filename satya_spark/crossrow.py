@@ -326,3 +326,70 @@ def top_violating_groups(
     return counts.orderBy(
         F.col("n_violations").desc(), F.col(group_col)
     ).limit(n)
+
+
+def schema_drift(old_df: DataFrame, new_df: DataFrame) -> list:
+    """Driver-side schema diff between two snapshots: list of dicts
+    (field, change ∈ added|removed|type_changed, old_type, new_type).
+    Metadata only — touches no data (like engine.schema_violations).
+    The 'did the upstream producer change the contract' check that
+    runs before any 10^12-row pass is paid for."""
+    old_t = {f.name: f.dataType.simpleString() for f in old_df.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new_df.schema.fields}
+    out = []
+    for name in sorted(set(new_t) - set(old_t)):
+        out.append(
+            {"field": name, "change": "added", "old_type": None, "new_type": new_t[name]}
+        )
+    for name in sorted(set(old_t) - set(new_t)):
+        out.append(
+            {"field": name, "change": "removed", "old_type": old_t[name], "new_type": None}
+        )
+    for name in sorted(set(old_t) & set(new_t)):
+        if old_t[name] != new_t[name]:
+            out.append(
+                {
+                    "field": name,
+                    "change": "type_changed",
+                    "old_type": old_t[name],
+                    "new_type": new_t[name],
+                }
+            )
+    return out
+
+
+def profile_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    fields: Iterable[str],
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-field profile delta between two snapshots: (field,
+    null_rate_old, null_rate_new, null_rate_delta, n_distinct_old,
+    n_distinct_new). One :func:`column_stats` aggregation pass per
+    side (each is a single-row aggregate — no join skew possible; the
+    final join is 1 row per field). The cheap always-on companion to
+    the distribution-level PSI/KS checks: a column whose null rate
+    jumped or whose cardinality collapsed is drifting even when its
+    value histogram looks stable."""
+    fields = list(fields)
+    o = column_stats(old_df, fields, exact_distinct=exact_distinct).select(
+        "field",
+        F.col("null_rate").alias("null_rate_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+    )
+    n = column_stats(new_df, fields, exact_distinct=exact_distinct).select(
+        "field",
+        F.col("null_rate").alias("null_rate_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+    )
+    return o.join(n, "field").select(
+        "field",
+        F.round("null_rate_old", 6).alias("null_rate_old"),
+        F.round("null_rate_new", 6).alias("null_rate_new"),
+        F.round(F.col("null_rate_new") - F.col("null_rate_old"), 6).alias(
+            "null_rate_delta"
+        ),
+        "n_distinct_old",
+        "n_distinct_new",
+    )

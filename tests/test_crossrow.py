@@ -168,3 +168,30 @@ def test_column_quantiles_ignores_nulls(spark):
     )
     row = crossrow.column_quantiles(df, ["x"], exact=True).collect()[0]
     assert row["q50"] == 3.0
+
+
+def test_schema_drift(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], ["id", "name", "score"])
+    new = spark.createDataFrame([(1, "a", 1, "x")], ["id", "name", "score", "tag"])
+    diff = crossrow.schema_drift(old, new)
+    by = {(d["field"], d["change"]): d for d in diff}
+    assert ("tag", "added") in by
+    assert by[("score", "type_changed")]["old_type"] == "double"
+    assert by[("score", "type_changed")]["new_type"] == "bigint"
+    assert len(diff) == 2
+    assert crossrow.schema_drift(old, old) == []
+
+
+def test_profile_drift(spark):
+    old = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",)], "x string"
+    )
+    new = spark.createDataFrame(
+        [(None,), (None,), ("a",), ("c",)], "x string"
+    )
+    row = crossrow.profile_drift(old, new, ["x"], exact_distinct=True).collect()[0]
+    assert row["null_rate_old"] == 0.25
+    assert row["null_rate_new"] == 0.5
+    assert row["null_rate_delta"] == 0.25
+    assert row["n_distinct_old"] == 2
+    assert row["n_distinct_new"] == 2
