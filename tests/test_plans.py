@@ -203,3 +203,67 @@ def test_text_queries_compute_stopword_hits_once(spark):
     # pure JVM: no Python eval anywhere in either plan
     for p in (plan_langid, plan_stats):
         assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+def test_violations_sample_salted_window_first(spark, staged):
+    """The triage sample must fan out before it funnels: phase 1's
+    window partitions on (field, constraint, SALT) — the hot
+    constraint never converges on one task until candidates are
+    capped — and phase 2's unsalted window runs over the capped
+    candidate set."""
+    from satya_spark.crossrow import violations_sample
+    from satya_spark.compiler import compile_spec
+
+    df = spark.read.parquet(staged)
+    viol = compile_spec(transcript_spec()).violations_df(
+        df, ["conv_id", "turn_idx"]
+    )
+    plan = _executed_plan(violations_sample(viol, ["conv_id", "turn_idx"], n=3))
+    # two Window operators, and the FIRST executed one (deepest in
+    # the plan = printed later) partitions on the salt
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    win_lines = [
+        ln for ln in final_plan.splitlines() if "Window [row_number()" in ln
+    ]
+    assert len(win_lines) == 2, plan
+    # plan prints top-down: line 0 is the final (unsalted) rank,
+    # line 1 the salted pre-rank
+    assert "__salt" not in win_lines[0]
+    assert "__salt" in win_lines[1]
+
+
+def test_column_quantiles_single_aggregate_pass(spark, staged):
+    """All fields' quantiles must come from ONE aggregation over ONE
+    scan — no per-field passes."""
+    from satya_spark.crossrow import column_quantiles
+
+    df = spark.read.parquet(staged).select(
+        "turn_idx", F.coalesce(F.length("text"), F.lit(0)).alias("text_len")
+    )
+    plan = _executed_plan(
+        column_quantiles(df, ["turn_idx", "text_len"], exact=False)
+    )
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("FileScan parquet") == 1, plan
+
+
+def test_psi_by_group_single_scan(spark, staged):
+    """Grouped drift must histogram the data ONCE: the grouped
+    histogram is persisted and every downstream consumer (reference
+    hist, grid, totals) reads the CACHE — the input is never
+    re-scanned. The plan shows the reuse as InMemoryTableScan nodes
+    whose cached relation contains the one real FileScan."""
+    from satya_spark.drift import psi_by_group
+
+    df = spark.read.parquet(staged).select(
+        F.coalesce("role", F.lit("<null>")).alias("role"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+    )
+    plan = _executed_plan(psi_by_group(df, "text_len", "role", 200.0, 20))
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in final_plan, plan
+    # every FileScan mention sits inside the cached relation's
+    # description — no scan outside an InMemoryRelation block
+    for ln in final_plan.splitlines():
+        if "FileScan parquet" in ln:
+            assert "InMemoryRelation" in final_plan, plan
