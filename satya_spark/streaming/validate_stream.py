@@ -118,3 +118,87 @@ def run_stream_to_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_value_histograms(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    width: float = 200.0,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Event-time windowed fixed-grid histograms of a metric — the
+    streaming half of the drift tier. One watermarked
+    groupBy(window, bucket).count(): state is bounded by
+    windows-in-flight × n_buckets (tiny), late rows fold into their
+    window until the watermark closes it. Output: (window_start,
+    window_end, bucket, n)."""
+    from ..drift import bucketize
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window),
+            bucketize(F.col(value_col), width, n_buckets).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket",
+            "n",
+        )
+    )
+
+
+def window_psi_vs_reference(
+    hist_batch: DataFrame,
+    ref_hist: list[int] | tuple[int, ...],
+    n_buckets: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-window PSI of streamed histograms against a STATIC
+    reference histogram (e.g. last week's accepted distribution,
+    shipped as n_buckets ints — plan constants, no join against
+    data). Meant for ``foreachBatch`` over
+    :func:`windowed_value_histograms` output: each batch re-scores
+    the windows it contains; a window's PSI is final once the
+    watermark closes it. Exact grid completion: the batch frame is
+    cross-joined with an n_buckets literal grid (tiny × tiny), so
+    buckets absent from a window contribute their full
+    (p+ε)·ln((p+ε)/ε) term exactly like drift.psi_pair. Output:
+    (window_start, psi, n_rows) — alert on psi > 0.2 downstream."""
+    spark = hist_batch.sparkSession
+    ref_total = max(sum(ref_hist), 1)
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    wins = hist_batch.select("window_start").distinct()
+    full = (
+        wins.crossJoin(grid)
+        .join(
+            hist_batch.select("window_start", "bucket", "n"),
+            ["window_start", "bucket"],
+            "left",
+        )
+        .fillna(0, subset=["n"])
+    )
+    totals = full.groupBy("window_start").agg(F.sum("n").alias("t_cur"))
+    r = full.join(totals, "window_start")
+    # reference proportions folded in as a CASE over bucket id
+    p_expr = None
+    for b in range(n_buckets):
+        cond = F.col("bucket") == b
+        val = F.lit(ref_hist[b] / ref_total)
+        p_expr = F.when(cond, val) if p_expr is None else p_expr.when(cond, val)
+    p = p_expr.otherwise(F.lit(0.0)) + F.lit(eps)
+    q = F.col("n").cast("double") / F.greatest(F.col("t_cur"), F.lit(1)) + F.lit(eps)
+    contrib = (p - q) * F.log(p / q)
+    return (
+        r.groupBy("window_start")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("psi"),
+            F.sum("n").alias("n_rows"),
+        )
+        .orderBy("window_start")
+    )

@@ -120,3 +120,58 @@ def test_windowed_violation_counts(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "win")).collect()
     by_start = {str(r["window_start"]): (r["n_rows"], r["n_invalid"]) for r in rows}
     assert by_start.get("2024-01-01 00:00:00") == (2, 1)
+
+
+def test_windowed_histograms_and_psi(spark, tmp_path):
+    """Streaming drift tier: event-time windowed fixed-grid
+    histograms (watermark-bounded state), then per-window PSI against
+    a static reference — window 1 matches the reference (psi ~ 0),
+    window 2 is shifted (psi high)."""
+    from satya_spark.streaming.validate_stream import (
+        window_psi_vs_reference,
+        windowed_value_histograms,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # window 1 (00:00–00:01): values spread 0..199 → buckets 0..3
+    # window 2 (00:01–00:02): values 800+ → bucket 16+
+    rows = []
+    for i in range(40):
+        rows.append(
+            {"conv_id": f"c{i}", "turn_idx": i * 5, "role": "user",
+             "ts": f"2024-01-01T00:00:{i % 60:02d}Z"}
+        )
+    for i in range(40):
+        rows.append(
+            {"conv_id": f"d{i}", "turn_idx": 800 + i, "role": "user",
+             "ts": f"2024-01-01T00:01:{i % 60:02d}Z"}
+        )
+    # closer event: pushes the watermark past both windows
+    rows.append({"conv_id": "zz", "turn_idx": 0, "role": "user",
+                 "ts": "2024-01-01T00:10:00Z"})
+    _write_ndjson(indir / "b.ndjson", rows)
+
+    stream = read_ndjson_stream(spark, str(indir), SCHEMA)
+    hists = windowed_value_histograms(
+        stream, "turn_idx", "ts", window="1 minute",
+        watermark="10 seconds", width=50.0, n_buckets=20,
+    )
+    q = (
+        hists.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "h"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = spark.read.parquet(str(tmp_path / "h"))
+    # reference = uniform over buckets 0..3 (what window 1 looks like)
+    ref = [10, 10, 10, 10] + [0] * 16
+    psi = {
+        str(r["window_start"]): r["psi"]
+        for r in window_psi_vs_reference(batch, ref, n_buckets=20).collect()
+    }
+    assert psi["2024-01-01 00:00:00"] < 0.05
+    assert psi["2024-01-01 00:01:00"] > 1.0
