@@ -13,6 +13,14 @@ same entry point; locally it builds a session itself.
 
 Exit code: 0 if every shard passed, 3 if violations were found
 (pipeline-friendly), 2 on schema-policy errors.
+
+    python -m satya_spark triage --input /data/t.parquet \
+        [--sample-n 3] [--top-n 10] \
+        [--drift-group role --drift-metric text]
+
+prints one JSON report: per-constraint violation samples (two-phase
+salted top-n), worst groups by violation count, optional per-group
+PSI — every output driver-small by construction.
 """
 
 from __future__ import annotations
@@ -140,6 +148,50 @@ def cmd_validate(args) -> int:
     return 0 if n_invalid == 0 else 3
 
 
+def cmd_triage(args) -> int:
+    """Bounded triage report over a validated table: per-constraint
+    violation samples, worst conversations, per-group drift — the
+    queries an operator runs when `validate` exits 3. Every output is
+    driver-small by construction (samples are two-phase-salted
+    top-n; drift is one grouped histogram)."""
+    from pyspark.sql import functions as F
+
+    from .crossrow import top_violating_groups, violations_sample
+    from .drift import psi_by_group
+    from .session import get_spark
+
+    spark = get_spark(app_name="satya-spark-triage")
+    spec = _build_spec(args)
+    spec.validate()
+    from .engine import ValidationEngine
+
+    eng = ValidationEngine(spec)
+    df = spark.read.parquet(args.input)
+    keys = list(spec.unique_key or (spec.fields[0].name,))
+    viol = eng.violations(df)
+
+    sample = violations_sample(viol, keys, n=args.sample_n).collect()
+    worst = top_violating_groups(viol, keys[0], n=args.top_n).collect()
+    report: dict = {
+        "violation_sample": [r.asDict() for r in sample],
+        "worst_groups": [r.asDict() for r in worst],
+    }
+    if args.drift_group and args.drift_metric:
+        m = df.select(
+            F.coalesce(F.col(args.drift_group).cast("string"), F.lit("<null>")).alias("g"),
+            F.coalesce(
+                F.length(args.drift_metric)
+                if dict(df.dtypes).get(args.drift_metric) == "string"
+                else F.col(args.drift_metric).cast("double"),
+                F.lit(0),
+            ).alias("m"),
+        )
+        psi = psi_by_group(m, "m", "g", args.drift_width, args.drift_buckets)
+        report["group_psi"] = [r.asDict() for r in psi.collect()]
+    print(json.dumps(report, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="satya_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -153,9 +205,26 @@ def main(argv=None) -> int:
     v.add_argument("--shards", type=int, default=64)
     v.add_argument("--sample-per-shard", type=int, default=0)
     v.add_argument("--coerce", action="store_true", help="coercion mode")
+    t = sub.add_parser(
+        "triage", help="bounded violation/drift report for a table"
+    )
+    t.add_argument("--input", required=True)
+    t.add_argument("--schema", help="JSON Schema file (compiled to a spec)")
+    t.add_argument("--spec", default="transcripts", help="built-in spec name")
+    t.add_argument("--sample-n", type=int, default=3)
+    t.add_argument("--top-n", type=int, default=10)
+    t.add_argument("--drift-group", help="column to group drift by (e.g. role)")
+    t.add_argument(
+        "--drift-metric",
+        help="metric column (string cols use their length)",
+    )
+    t.add_argument("--drift-width", type=float, default=200.0)
+    t.add_argument("--drift-buckets", type=int, default=20)
     args = p.parse_args(argv)
     if args.cmd == "validate":
         return cmd_validate(args)
+    if args.cmd == "triage":
+        return cmd_triage(args)
     return 1
 
 

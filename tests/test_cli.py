@@ -106,3 +106,21 @@ def test_input_fingerprint_path_spelling_invariant(tmp_path):
     finally:
         os.chdir(cwd)
     assert absolute == relative
+
+
+def test_cli_triage(spark, tmp_path):
+    from satya_spark.transcripts import synthesize
+
+    inp = str(tmp_path / "in.parquet")
+    synthesize(spark, 500).write.parquet(inp)
+    r = _cli(
+        "triage", "--input", inp, "--sample-n", "2", "--top-n", "3",
+        "--drift-group", "role", "--drift-metric", "text",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["violation_sample"], "planted violations must sample"
+    assert all(row["rk"] <= 2 for row in report["violation_sample"])
+    assert 1 <= len(report["worst_groups"]) <= 3
+    psis = {row["grp"]: row["psi"] for row in report["group_psi"]}
+    assert "user" in psis and len(psis) >= 3
