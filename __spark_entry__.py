@@ -328,6 +328,26 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-free drift: per-field quantile deltas between the even-
+    and odd-orderkey snapshots (exact percentile for the oracle; GK
+    sketch is the production default)."""
+    from satya_spark.crossrow import quantile_drift
+
+    df = from_tpch(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.length("text"), F.lit(0)).alias("text_len"),
+    )
+    half = F.expr("CAST(substring(conv_id, 2) AS BIGINT)") % 2
+    return quantile_drift(
+        df.filter(half == 0),
+        df.filter(half == 1),
+        ["turn_idx", "text_len"],
+        exact=True,
+    )
+
+
 def q_coercions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coercion tier (SURVEY.md §2.4): str→int (try_cast null-on-fail,
     src/blaze_validator.rs:277-297), str→bool case-insensitive
@@ -833,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "drift_ks": q_drift_ks,
             "drift_psi_grouped": q_drift_psi_grouped,
             "profile_drift": q_profile_drift,
+            "quantile_drift": q_quantile_drift,
             "violation_counts": q_violation_counts,
             "violations_sample": q_violations_sample,
             "top_violating_convs": q_top_violating_convs,
@@ -1051,6 +1072,28 @@ def oracle_sql() -> dict[str, str]:
         "ndo AS n_distinct_old, ndn AS n_distinct_new "
         "FROM o JOIN n ON o.field = n.field"
     )
+    qd_parts = []
+    for fld, expr_sql in [
+        ("turn_idx", "CAST(turn_idx AS DOUBLE)"),
+        ("text_len", "CAST(coalesce(length(text), 0) AS DOUBLE)"),
+    ]:
+        sel = [f"'{fld}' AS field"]
+        for pname, pval in [("q25", "0.25"), ("q50", "0.50"), ("q75", "0.75")]:
+            q_old = f"round(quantile_cont({expr_sql}, {pval}) FILTER (half = 0), 6)"
+            q_new = f"round(quantile_cont({expr_sql}, {pval}) FILTER (half = 1), 6)"
+            sel.append(f"{q_old} AS {pname}_old")
+            sel.append(f"{q_new} AS {pname}_new")
+            # delta over the ROUNDED quantiles — matches the Spark
+            # side, where quantile_drift subtracts column_quantiles'
+            # already-rounded outputs
+            sel.append(f"round({q_new} - {q_old}, 6) AS {pname}_delta")
+        qd_parts.append(
+            "SELECT "
+            + ", ".join(sel)
+            + " FROM (SELECT *, CAST(substring(conv_id, 2) AS BIGINT) % 2"
+            " AS half FROM transcripts) t"
+        )
+    out["quantile_drift"] = _duck(" UNION ALL ".join(qd_parts))
     out["coercions"] = _duck(
         "SELECT conv_id, turn_idx, "
         "TRY_CAST(CASE WHEN CAST(substring(conv_id, 2) AS BIGINT) % 17 = 0"

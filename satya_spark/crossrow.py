@@ -393,3 +393,37 @@ def profile_drift(
         "n_distinct_old",
         "n_distinct_new",
     )
+
+
+def quantile_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    fields: Iterable[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+) -> DataFrame:
+    """Grid-free drift: per-field quantile deltas between snapshots —
+    (field, q50_old, q50_new, q50_delta, ...) one row per field. The
+    companion to PSI for metrics whose histogram grid you don't want
+    to choose: a shifted median is drift no matter how it's binned.
+    One :func:`column_quantiles` aggregation per side (GK sketch in
+    production, exact for the oracle); the join is 1 row per field.
+    """
+    probs = list(probs)
+    names = [f"q{int(round(p * 100)):02d}" for p in probs]
+    o = column_quantiles(old_df, fields, probs, exact=exact)
+    n = column_quantiles(new_df, fields, probs, exact=exact)
+    o = o.select("field", *[F.col(c).alias(f"{c}_old") for c in names])
+    n = n.select("field", *[F.col(c).alias(f"{c}_new") for c in names])
+    out = o.join(n, "field")
+    cols = ["field"]
+    for c in names:
+        cols += [
+            f"{c}_old",
+            f"{c}_new",
+        ]
+        out = out.withColumn(
+            f"{c}_delta", F.round(F.col(f"{c}_new") - F.col(f"{c}_old"), 6)
+        )
+        cols.append(f"{c}_delta")
+    return out.select(*cols)

@@ -195,3 +195,14 @@ def test_profile_drift(spark):
     assert row["null_rate_delta"] == 0.25
     assert row["n_distinct_old"] == 2
     assert row["n_distinct_new"] == 2
+
+
+def test_quantile_drift(spark):
+    old = spark.range(100).select((F.col("id") % 50).cast("double").alias("x"))
+    new = spark.range(100).select(
+        ((F.col("id") % 50) + 10.0).alias("x")
+    )
+    row = crossrow.quantile_drift(old, new, ["x"], exact=True).collect()[0]
+    assert row["q50_delta"] == 10.0
+    assert row["q25_delta"] == 10.0
+    assert row["q75_old"] + 10.0 == row["q75_new"]
