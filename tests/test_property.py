@@ -517,3 +517,77 @@ def test_map_struct_value_kernels_match_python_and_duckdb(spark, inner, values):
     assert {i: sorted(s) for i, s in duck.items()} == {
         i: w for i, w in want.items() if w
     }, f"inner={inner} values={values}"
+
+
+# --- triage-tier fuzz: two-phase top-n vs pure-Python oracle ---------------
+
+triage_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),                      # key1
+        st.integers(0, 5),                       # key2
+        st.sampled_from(["a", "b", "c"]),        # field
+        st.sampled_from(["min_length", "enum"]),  # constraint
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=triage_rows, n=st.integers(1, 4), buckets=st.sampled_from([1, 3, 32]))
+def test_violations_sample_matches_python_oracle(spark, rows, n, buckets):
+    """crossrow.violations_sample (two-phase salted top-n) must equal
+    the plain-Python 'sort within (field, constraint) and take n' —
+    for any salt factor, including duplicate keys across constraints."""
+    from satya_spark.crossrow import violations_sample
+
+    # keys must be unique per (field, constraint): dedupe like
+    # violations_df's one-row-per-(row, rule) shape
+    uniq = {}
+    for k1, k2, fld, cst in rows:
+        uniq[(fld, cst, k1, k2)] = (f"c{k1:03d}", k2, fld, cst, "v")
+    data = sorted(uniq.values())
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data, ["conv_id", "turn_idx", "field", "constraint_name", "offending_value"]
+    )
+    got = sorted(
+        (r["field"], r["constraint_name"], r["conv_id"], r["turn_idx"], r["rk"])
+        for r in violations_sample(
+            df, ["conv_id", "turn_idx"], n=n, salt_buckets=buckets
+        ).collect()
+    )
+    # pure-Python oracle
+    by_group: dict = {}
+    for conv, t, fld, cst, _ in data:
+        by_group.setdefault((fld, cst), []).append((conv, t))
+    expect = []
+    for (fld, cst), ks in by_group.items():
+        for i, (conv, t) in enumerate(sorted(ks)[:n], start=1):
+            expect.append((fld, cst, conv, t, i))
+    assert got == sorted(expect)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=32), min_size=1, max_size=60
+    ),
+    probs=st.sampled_from([(0.5,), (0.25, 0.5, 0.75), (0.1, 0.9)]),
+)
+def test_column_quantiles_exact_matches_numpy_fuzz(spark, vals, probs):
+    """Exact percentile ≡ numpy linear interpolation ≡ (by the gate)
+    DuckDB quantile_cont, over arbitrary float corpora."""
+    import numpy as np
+
+    from satya_spark.crossrow import column_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    row = column_quantiles(df, ["x"], probs=list(probs), exact=True).collect()[0]
+    for p in probs:
+        name = f"q{int(round(p * 100)):02d}"
+        want = round(float(np.percentile(vals, p * 100)), 6)
+        assert abs(row[name] - want) <= 1e-6 * max(1.0, abs(want)), (
+            p, row[name], want,
+        )
