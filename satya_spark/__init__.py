@@ -11,11 +11,14 @@ from .spec import FieldSpec, TableSpec, transcript_spec
 from .compiler import compile_spec, CompiledSpec, CompiledRule
 from .validators import ValidationInfo, field_validator, model_validator
 from .model import Field, Model, ModelValidationError
+from .engine import ValidationEngine, TableValidationError
 
 __all__ = [
     "Field",
     "Model",
     "ModelValidationError",
+    "ValidationEngine",
+    "TableValidationError",
     "FieldSpec",
     "TableSpec",
     "transcript_spec",

@@ -45,6 +45,30 @@ from .spec import TableSpec
 MAX_VIOLATIONS_PER_ROW = 64
 
 
+class TableValidationError(Exception):
+    """Raised by :meth:`ValidationEngine.enforce` when a table fails.
+
+    Table-level analog of the reference's raising construction path
+    (``src/satya/__init__.py:76-81`` — instantiating a Model with bad
+    data raises with the error list). At table scope the payload must
+    stay bounded: the exception carries the total invalid-row count
+    plus a small deterministic sample of violation rows, never the
+    full violation set (which on a 10^12-row incident would be a
+    second copy of the input)."""
+
+    def __init__(self, n_invalid: int, n_rows: int, sample: list):
+        self.n_invalid = n_invalid
+        self.n_rows = n_rows
+        self.sample = sample
+        head = "; ".join(
+            f"{r['field']}.{r['constraint_name']}={r['offending_value']!r}"
+            for r in sample[:5]
+        )
+        super().__init__(
+            f"{n_invalid}/{n_rows} rows failed validation; sample: {head}"
+        )
+
+
 @dataclass
 class ValidationRun:
     annotated: DataFrame
@@ -172,6 +196,46 @@ class ValidationEngine:
                 F.sum(F.col("nv").cast("long")).alias("n_rule_violations"),
             )
             .withColumn("passed", F.col("n_invalid_rows") == 0)
+        )
+
+    def enforce(self, df: DataFrame, sample_n: int = 20) -> DataFrame:
+        """Validate-or-raise: return ``df`` untouched if every row
+        passes the compiled kernels, else raise
+        :class:`TableValidationError`.
+
+        The pass/fail decision is ONE counts-only aggregate over the
+        integer violation-count projection — the same fused
+        scan→project→partial-agg shape as :meth:`shard_verdicts`, no
+        per-row array materialization, no shuffle beyond the 1-row
+        final agg. Only on failure does a second bounded job collect
+        ``sample_n`` violation rows (deterministic key order) for the
+        exception. Valid tables pay exactly one count pass, so
+        ``enforce`` composes as a cheap pipeline guard between stages.
+        """
+        totals = (
+            df.select(
+                (self.compiled.violation_count_col() > 0)
+                .cast("long")
+                .alias("bad")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("bad").alias("n_invalid"),
+            )
+            .collect()[0]
+        )
+        if not totals["n_invalid"]:
+            return df
+        keys = list(self.spec.unique_key or (self.spec.fields[0].name,))
+        sample = [
+            r.asDict()
+            for r in self.violations(df)
+            .orderBy(*keys, "field", "constraint_name")
+            .limit(sample_n)
+            .collect()
+        ]
+        raise TableValidationError(
+            int(totals["n_invalid"]), int(totals["n_rows"]), sample
         )
 
     # --- stage 3: cross-row --------------------------------------------

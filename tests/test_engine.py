@@ -89,3 +89,27 @@ def test_shard_verdicts_count_path_equals_array_path(spark):
         tuple(r) for r in eng.shard_verdicts(eng.annotate(df)).collect()
     )  # annotated frame → array path
     assert fast == slow
+
+
+def test_enforce_raises_on_planted_violations(spark):
+    """enforce() = the raising model_validate surface at table scope
+    (src/satya/__init__.py:76-81): clean table passes through
+    untouched, dirty table raises with bounded deterministic sample."""
+    import pytest
+
+    from satya_spark.engine import TableValidationError
+
+    eng = ValidationEngine(transcript_spec())
+    df = synthesize(spark, n_conv=120)  # has planted violations
+    with pytest.raises(TableValidationError) as ei:
+        eng.enforce(df, sample_n=7)
+    err = ei.value
+    assert 0 < err.n_invalid <= err.n_rows
+    assert 0 < len(err.sample) <= 7
+    assert {"field", "constraint_name", "offending_value"} <= set(err.sample[0])
+    # message stays bounded and informative
+    assert f"{err.n_invalid}/{err.n_rows}" in str(err)
+
+    clean = df.filter(F.size(eng.compiled.violations_array_col()) == 0)
+    out = eng.enforce(clean)
+    assert out is clean  # valid input returned as-is (one count pass)
