@@ -844,14 +844,24 @@ class CompiledSpec:
 
     def violations_df(self, df, key_cols: List[str]):
         """Exploded violation rows (key..., field, constraint_name,
-        offending_value). The array is projected and filtered to
-        non-empty BEFORE the Generate so the (rare) violating rows are
-        the only ones reaching explode."""
+        offending_value). Rows are filtered with the CHEAP scalar
+        ``~valid_col()`` (an AND of negated fail predicates) BEFORE the
+        array projection, so (a) the struct-array construction — the
+        expensive part: per-rule named_structs + offending-value
+        rendering — is evaluated only for the rare violating rows, and
+        (b) the generated code stays under the JVM's 64 KB method
+        limit. The previous shape (project array → filter
+        ``size(__viol) > 0``) was collapsed by Catalyst into a plan
+        carrying TWO copies of the full 25-kernel array expression
+        (filter condition + project output), which blew
+        ``processNext()`` past 64 KB and dropped the whole stage to
+        interpreted eval. ``~valid_col()`` is true iff some rule
+        fails iff the array is non-empty, so semantics are identical."""
         from pyspark.sql import functions as F
 
-        tmp = df.select(
+        tmp = df.filter(~self.valid_col()).select(
             *key_cols, self.violations_array_col().alias("__viol")
-        ).filter(F.size("__viol") > 0)
+        )
         return tmp.select(*key_cols, F.explode("__viol").alias("v")).select(
             *key_cols, "v.field", "v.constraint_name", "v.offending_value"
         )

@@ -267,3 +267,24 @@ def test_psi_by_group_single_scan(spark, staged):
     for ln in final_plan.splitlines():
         if "FileScan parquet" in ln:
             assert "InMemoryRelation" in final_plan, plan
+
+
+def test_violations_path_compiles_under_64kb(spark, staged):
+    """The exploded-violations pipeline must stay whole-stage
+    compilable. Regression pin for a real failure: projecting the full
+    25-kernel violations array and THEN filtering ``size(__viol) > 0``
+    let Catalyst collapse filter+project into a plan holding TWO
+    copies of the array expression, blowing ``processNext()`` past the
+    JVM's 64 KB method limit — Spark silently fell back to interpreted
+    eval for the whole stage. The fixed shape filters on the cheap
+    scalar ``~valid_col()`` first. With codegen fallback disabled, a
+    regression becomes a hard error instead of a silent slowdown."""
+    eng = ValidationEngine(transcript_spec())
+    df = spark.read.parquet(staged)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        n = eng.violations(df).count()  # explode path consumes the array
+        assert n >= 0
+        assert eng.violations_sampled(df).count() >= n  # capped superset cols
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
