@@ -844,24 +844,33 @@ class CompiledSpec:
 
     def violations_df(self, df, key_cols: List[str]):
         """Exploded violation rows (key..., field, constraint_name,
-        offending_value). Rows are filtered with the CHEAP scalar
-        ``~valid_col()`` (an AND of negated fail predicates) BEFORE the
-        array projection, so (a) the struct-array construction — the
-        expensive part: per-rule named_structs + offending-value
-        rendering — is evaluated only for the rare violating rows, and
-        (b) the generated code stays under the JVM's 64 KB method
-        limit. The previous shape (project array → filter
-        ``size(__viol) > 0``) was collapsed by Catalyst into a plan
-        carrying TWO copies of the full 25-kernel array expression
-        (filter condition + project output), which blew
-        ``processNext()`` past 64 KB and dropped the whole stage to
-        interpreted eval. ``~valid_col()`` is true iff some rule
-        fails iff the array is non-empty, so semantics are identical."""
+        offending_value). The array is projected and filtered to
+        non-empty BEFORE the Generate so the (rare) violating rows are
+        the only ones reaching explode.
+
+        Plan-shape note (measured, sf0.1, 25 kernels): Catalyst
+        collapses this project+filter into a plan holding TWO copies
+        of the array expression, which blows the fused
+        ``processNext()`` past Janino's 64 KB method limit — Spark
+        logs ``ERROR CodeGenerator`` and abandons WHOLE-STAGE FUSION
+        for that stage. That is NOT interpreted eval: each operator
+        (Filter predicate, Project) still compiles its own split-
+        method codegen, and this shape measured FASTER than both
+        64 KB-safe rewrites — filtering first on the scalar
+        ``~valid_col()`` (1.5× slower on expression-defined inputs:
+        predicate pushdown substitutes the input-defining expressions
+        into all 25 predicates where cross-predicate CSE fails) and
+        dropping the filter entirely to let ``explode`` discard empty
+        arrays (1.35× slower there; the early filter lets the scan
+        stage drop ~99.7% of rows before the Generate). The genuinely
+        hot full-scan paths (annotate / verdict counts) stay fully
+        fused — pinned under ``spark.sql.codegen.fallback=false`` in
+        tests/test_plans.py."""
         from pyspark.sql import functions as F
 
-        tmp = df.filter(~self.valid_col()).select(
+        tmp = df.select(
             *key_cols, self.violations_array_col().alias("__viol")
-        )
+        ).filter(F.size("__viol") > 0)
         return tmp.select(*key_cols, F.explode("__viol").alias("v")).select(
             *key_cols, "v.field", "v.constraint_name", "v.offending_value"
         )

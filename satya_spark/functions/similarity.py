@@ -159,7 +159,12 @@ def sketch_buckets_np(
     batches is both smaller and far faster there. Sign parity with the
     expression path holds except when a dot product sits within
     float-summation noise of 0 (tested equal on the synthetic corpus);
-    use the expression path when bit-exact SQL-oracle parity matters."""
+    use the expression path when bit-exact SQL-oracle parity matters.
+    (Measured footnote: if you must run the big-expr path, disabling
+    ``spark.sql.codegen.wholeStage`` lets the projection compile as
+    split per-operator methods instead of falling back to fully
+    interpreted eval — 1.75x faster at dims=64 x 24 planes, sf0.01.
+    Still far behind the matmul; kept as a negative result.)"""
     import numpy as np
     import pandas as pd
     from typing import Iterator
