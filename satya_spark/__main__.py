@@ -128,6 +128,10 @@ def cmd_validate(args) -> int:
         viol = eng.violations(df)
     viol.write.mode("overwrite").parquet(f"{args.output}/violations")
 
+    sides = None
+    if args.quarantine:
+        sides = eng.write_split(df, f"{args.output}/split")
+
     v = spark.read.parquet(f"{args.output}/verdicts")
     row = v.agg(
         F.sum("n_rows").alias("rows"),
@@ -135,16 +139,15 @@ def cmd_validate(args) -> int:
     ).collect()[0]
     n_rows = int(row["rows"] or 0)
     n_invalid = int(row["invalid"] or 0)
-    print(
-        json.dumps(
-            {
-                "rows": n_rows,
-                "invalid_rows": n_invalid,
-                "shards": v.count(),
-                "output": args.output,
-            }
-        )
-    )
+    summary = {
+        "rows": n_rows,
+        "invalid_rows": n_invalid,
+        "shards": v.count(),
+        "output": args.output,
+    }
+    if sides is not None:
+        summary["split"] = sides
+    print(json.dumps(summary))
     return 0 if n_invalid == 0 else 3
 
 
@@ -205,6 +208,13 @@ def main(argv=None) -> int:
     v.add_argument("--shards", type=int, default=64)
     v.add_argument("--sample-per-shard", type=int, default=0)
     v.add_argument("--coerce", action="store_true", help="coercion mode")
+    v.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="also write a one-pass verdict-partitioned split: clean rows "
+        "to <output>/split/valid=true, invalid rows (violations attached) "
+        "to <output>/split/valid=false",
+    )
     t = sub.add_parser(
         "triage", help="bounded violation/drift report for a table"
     )

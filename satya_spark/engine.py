@@ -238,6 +238,34 @@ class ValidationEngine:
             int(totals["n_invalid"]), int(totals["n_rows"]), sample
         )
 
+    def write_split(
+        self,
+        df: DataFrame,
+        path: str,
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+    ) -> Dict[str, str]:
+        """Single-pass quarantine split: ONE scan writes valid rows to
+        ``<path>/valid=true`` and invalid rows (with their populated
+        ``violations`` array) to ``<path>/valid=false`` via a
+        hive-partitioned write on the verdict column. The two-scan
+        alternative (filter valid → write, filter invalid → write)
+        reads a 10^12-row table twice; caching it to avoid that
+        materializes a table-sized copy. Partitioning by the verdict
+        is the Spark-native one-pass answer — and downstream reads of
+        the clean side are partition-pruned to ``valid=true`` for
+        free. Valid rows carry an empty ``violations`` array (uniform
+        schema; negligible storage); read back through
+        :func:`satya_spark.io.read_split`, which handles the
+        no-invalid-rows case where the quarantine partition was never
+        created."""
+        ann = self.annotate(df).drop("shard")
+        ann.write.mode(mode).partitionBy("valid").format(fmt).save(path)
+        return {
+            "clean": f"{path}/valid=true",
+            "quarantine": f"{path}/valid=false",
+        }
+
     # --- stage 3: cross-row --------------------------------------------
     def run(
         self,

@@ -38,3 +38,19 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def read_split(
+    spark: SparkSession, path: str, side: str = "clean", fmt: str = "parquet"
+) -> DataFrame:
+    """Read one side of a :meth:`ValidationEngine.write_split` layout.
+    ``side`` is ``"clean"`` (valid=true) or ``"quarantine"``
+    (valid=false). Reads the partition ROOT and filters on the
+    partition column, so the scan is partition-pruned to the one
+    side's files — a fully-clean run simply yields an empty
+    quarantine frame (its ``valid=false`` directory was never
+    created, and pruning selects zero files)."""
+    if side not in ("clean", "quarantine"):
+        raise ValueError(f"side must be 'clean' or 'quarantine', got {side!r}")
+    df = spark.read.format(fmt).load(path)
+    return df.filter(df["valid"] == (side == "clean"))

@@ -124,3 +124,23 @@ def test_cli_triage(spark, tmp_path):
     assert 1 <= len(report["worst_groups"]) <= 3
     psis = {row["grp"]: row["psi"] for row in report["group_psi"]}
     assert "user" in psis and len(psis) >= 3
+
+
+def test_cli_validate_quarantine_split(spark, tmp_path):
+    from satya_spark.io import read_split
+    from satya_spark.transcripts import synthesize
+
+    inp = str(tmp_path / "in.parquet")
+    synthesize(spark, 200).write.parquet(inp)
+    out = str(tmp_path / "out")
+    r = _cli(
+        "validate", "--input", inp, "--output", out,
+        "--shards", "8", "--quarantine",
+    )
+    assert r.returncode == 3, r.stderr[-1500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["split"]["clean"].endswith("valid=true")
+    clean = read_split(spark, f"{out}/split", "clean")
+    quar = read_split(spark, f"{out}/split", "quarantine")
+    assert clean.count() + quar.count() == summary["rows"]
+    assert quar.count() > 0

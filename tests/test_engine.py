@@ -113,3 +113,35 @@ def test_enforce_raises_on_planted_violations(spark):
     clean = df.filter(F.size(eng.compiled.violations_array_col()) == 0)
     out = eng.enforce(clean)
     assert out is clean  # valid input returned as-is (one count pass)
+
+
+def test_write_split_one_pass_quarantine(spark, tmp_path):
+    """write_split: ONE scan lands valid rows under valid=true and
+    invalid rows (violations attached) under valid=false; read_split
+    partition-prunes each side; counts reconcile with the verdicts."""
+    from satya_spark.io import read_split
+
+    eng = ValidationEngine(transcript_spec())
+    df = synthesize(spark, n_conv=150)
+    path = str(tmp_path / "split")
+    sides = eng.write_split(df, path)
+    assert sides["clean"].endswith("valid=true")
+
+    clean = read_split(spark, path, "clean")
+    quar = read_split(spark, path, "quarantine")
+    n_clean, n_quar = clean.count(), quar.count()
+    assert n_clean + n_quar == df.count()
+    assert n_quar > 0  # planted violations
+    # quarantined rows carry populated violations; clean rows empty
+    assert quar.filter(F.size("violations") == 0).count() == 0
+    assert clean.filter(F.size("violations") > 0).count() == 0
+
+    # the read is partition-pruned: only one side's files are scanned
+    quar.collect()
+    plan = quar._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(valid" in plan or "valid#" in plan
+
+    # all-valid input never creates the quarantine dir; empty, not error
+    clean2_path = str(tmp_path / "split_clean")
+    eng.write_split(clean.drop("valid", "violations"), clean2_path)
+    assert read_split(spark, clean2_path, "quarantine").count() == 0
