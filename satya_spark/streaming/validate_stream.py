@@ -120,6 +120,45 @@ def run_stream_to_sink(
     return writer.start()
 
 
+def run_stream_split(
+    annotated: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    trigger_available_now: bool = True,
+):
+    """Streaming quarantine split — the streaming twin of
+    :meth:`ValidationEngine.write_split` (one-pass batch split).
+
+    Routes every micro-batch's rows into the SAME hive-partitioned
+    layout as the batch split: valid rows land under
+    ``<path>/valid=true``, invalid rows (with their populated
+    ``violations`` array) under ``<path>/valid=false`` — so
+    :func:`satya_spark.io.read_split` reads either side of a
+    streaming run unchanged, partition-pruned to one side's files.
+
+    Uses the NATIVE file sink (``writeStream.partitionBy('valid')``),
+    not ``foreachBatch``: the file sink's ``_spark_metadata``
+    transaction log gives exactly-once file visibility across
+    restarts (a batch reader only sees files the log committed), and
+    the write stays one pass per micro-batch with no driver-side
+    branching. At 10^12 turns this is the continuous-ingest shape:
+    upstream appends transcript files, this query keeps the clean
+    side append-only consumable while quarantined rows carry their
+    violation evidence (field, constraint, offending value) for
+    triage.
+    """
+    writer = (
+        annotated.writeStream.partitionBy("valid")
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_value_histograms(
     stream_df: DataFrame,
     value_col: str,

@@ -175,3 +175,49 @@ def test_windowed_histograms_and_psi(spark, tmp_path):
     }
     assert psi["2024-01-01 00:00:00"] < 0.05
     assert psi["2024-01-01 00:01:00"] > 1.0
+
+
+def test_run_stream_split_quarantine(spark, tmp_path):
+    """Streaming quarantine: valid rows land under valid=true, invalid
+    rows (violations attached) under valid=false — the same layout as
+    the batch write_split, readable via io.read_split, exactly-once
+    across a checkpointed restart with a new input file."""
+    from satya_spark.io import read_split
+    from satya_spark.streaming.validate_stream import run_stream_split
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_ndjson(
+        indir / "b1.ndjson",
+        [
+            {"conv_id": "c1", "turn_idx": 0, "role": "system", "ts": "2024-01-01T00:00:00Z"},
+            {"conv_id": "c1", "turn_idx": 1, "role": "moderator", "ts": "2024-01-01T00:00:30Z"},
+            {"conv_id": "c2", "turn_idx": -1, "role": "user", "ts": "2024-01-01T00:01:10Z"},
+        ],
+    )
+    out = str(tmp_path / "split")
+    ck = str(tmp_path / "ckpt")
+    ann = annotate_stream(read_ndjson_stream(spark, str(indir), SCHEMA), SPEC)
+    run_stream_split(ann, out, ck).awaitTermination(120)
+
+    clean = read_split(spark, out, "clean")
+    quar = read_split(spark, out, "quarantine")
+    assert clean.count() == 1
+    assert {r["conv_id"] for r in clean.collect()} == {"c1"}
+    rows = quar.collect()
+    assert len(rows) == 2
+    got = {
+        (v["field"], v["constraint_name"]) for r in rows for v in r["violations"]
+    }
+    assert got == {("role", "enum"), ("turn_idx", "ge")}
+
+    # restart from the same checkpoint with one new file: only the new
+    # row is appended (file-sink log keeps the split exactly-once)
+    _write_ndjson(
+        indir / "b2.ndjson",
+        [{"conv_id": "c3", "turn_idx": 0, "role": "user", "ts": "2024-01-01T00:02:00Z"}],
+    )
+    ann2 = annotate_stream(read_ndjson_stream(spark, str(indir), SCHEMA), SPEC)
+    run_stream_split(ann2, out, ck).awaitTermination(120)
+    assert read_split(spark, out, "clean").count() == 2
+    assert read_split(spark, out, "quarantine").count() == 2
