@@ -35,6 +35,20 @@ class User(Model):
         return v
 
 
+class LegacyCode(Model):
+    """mode='wrap': the validator wraps standard validation — the
+    handler RUNS the field's value kernels (pykernels twins); skipping
+    it bypasses them (here: grandfathered legacy codes)."""
+
+    code: str = Field(pattern=r"^[A-Z]{3}$")
+
+    @field_validator("code", mode="wrap")
+    def grandfather_legacy(cls, v, handler, info):
+        if v.startswith("legacy:"):
+            return v  # pre-migration codes skip the pattern kernel
+        return handler(v.strip().upper())
+
+
 class PasswordReset(Model):
     password: str
     password_confirm: str
@@ -62,6 +76,16 @@ def main() -> int:
         return 1
     except ModelValidationError:
         pass
+
+    # wrap mode: handler runs the standard kernels; the sentinel
+    # branch bypasses them
+    assert LegacyCode(code=" abc ").code == "ABC"
+    assert LegacyCode(code="legacy:07").code == "legacy:07"
+    try:
+        LegacyCode(code="nope!")
+        return 1
+    except ModelValidationError as e:
+        assert any("pattern" in err.message for err in e.errors)
 
     # columnar: the SAME class; validators run as pandas UDFs and
     # their verdicts join the violations array

@@ -371,26 +371,38 @@ class Model(metaclass=ModelMeta):
                 raise ModelValidationError(
                     [ValidationError("<model>", str(e) or mv.name, constraint=mv.name)]
                 ) from e
-        # @field_validator mode='before'/'plain': transform provided
-        # values ahead of the compiled kernels; 'plain' additionally
-        # REPLACES the field's standard validation
+        # @field_validator mode='before'/'plain'/'wrap': transform
+        # provided values ahead of the compiled kernels; 'plain' and
+        # 'wrap' additionally REPLACE the field's standard validation
+        # ('wrap' gets a handler that runs it — pykernels twins)
         fv_errs: list = []
         plain_fields: set = set()
         if fvs:
+            from .validators import call_wrap_validator
+
             data = dict(data)
             for fv in fvs:
-                if fv.mode not in ("before", "plain"):
+                if fv.mode not in ("before", "plain", "wrap"):
                     continue
                 for fname in fv.fields:
-                    if fv.mode == "plain":
+                    if fv.mode in ("plain", "wrap"):
                         plain_fields.add(fname)
                     if fname not in data or data[fname] is None:
                         continue  # nulls skip value rules (engine-wide)
                     try:
-                        data[fname] = call_field_validator(
-                            fv, cls, data[fname],
-                            ValidationInfo(fname, dict(data), config),
-                        )
+                        info = ValidationInfo(fname, dict(data), config)
+                        if fv.mode == "wrap":
+                            from .pykernels import standard_handler
+
+                            data[fname] = call_wrap_validator(
+                                fv, cls, data[fname],
+                                standard_handler(cls.spec_field(fname)),
+                                info,
+                            )
+                        else:
+                            data[fname] = call_field_validator(
+                                fv, cls, data[fname], info
+                            )
                     except Exception as e:  # noqa: BLE001
                         fv_errs.append(
                             ValidationError(
@@ -586,15 +598,28 @@ class Model(metaclass=ModelMeta):
                 fvs = getattr(cls, "__field_validators__", [])
                 plain = False
                 for fv in fvs:
-                    if fv.mode not in ("before", "plain") or name not in fv.fields:
+                    if (
+                        fv.mode not in ("before", "plain", "wrap")
+                        or name not in fv.fields
+                    ):
                         continue
-                    plain = plain or fv.mode == "plain"
+                    plain = plain or fv.mode in ("plain", "wrap")
                     if value is None:
                         continue
                     try:
-                        value = call_field_validator(
-                            fv, cls, value, ValidationInfo(name, None, config)
-                        )
+                        if fv.mode == "wrap":
+                            from .pykernels import standard_handler
+                            from .validators import call_wrap_validator
+
+                            value = call_wrap_validator(
+                                fv, cls, value,
+                                standard_handler(cls.spec_field(name)),
+                                ValidationInfo(name, None, config),
+                            )
+                        else:
+                            value = call_field_validator(
+                                fv, cls, value, ValidationInfo(name, None, config)
+                            )
                     except Exception as e:  # noqa: BLE001
                         raise ModelValidationError(
                             [
@@ -675,6 +700,15 @@ class Model(metaclass=ModelMeta):
             out.append(f._spec)
             out.extend(getattr(f, "_extra_specs", ()))
         return TableSpec(name=cls.__name__.lower(), fields=tuple(out))
+
+    @classmethod
+    def spec_field(cls, name: str):
+        """FieldSpec for one (possibly dotted) field path — the
+        declaration a ``mode='wrap'`` handler validates against."""
+        for f in cls.spec().fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
 
     @classmethod
     def validator(cls, spark=None):

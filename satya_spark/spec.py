@@ -136,8 +136,9 @@ class FieldSpec:
     # (mode='before' semantics); 'after' — Column transform applied to
     # the validated value on output/dump (mode='after' value-rewriting
     # semantics; boolean 'after' CHECKS are RowRules). mode='plain'
-    # maps to before + no other rules; mode='wrap' (imperative handler
-    # call) has no declarative analog — documented N-A in COVERAGE.md.
+    # maps to before + no other rules; mode='wrap' runs on the Model
+    # decorator surface with a real handler (pykernels twins of this
+    # field's value kernels — COVERAGE.md §2.8).
     # Callables take and return a pyspark Column; compare=False keeps
     # the frozen dataclass hashable/comparable.
     before: Optional[Callable[[Any], Any]] = dc_field(default=None, compare=False)

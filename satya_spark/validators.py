@@ -41,10 +41,18 @@ Execution is two-path, like every other Model feature here:
   shipping the real class would drag its cached Spark-session-bound
   validator into the pickle.
 
-``mode='wrap'`` (an imperative handler wrapping the validation call,
-reference ``src/satya/validators.py:143-202``) has no declarative
-columnar analog — adjudicated N-A in COVERAGE.md §2.8; declaring one
-raises immediately rather than silently degrading.
+``mode='wrap'`` (reference ``src/satya/validators.py:143-202``):
+the validator receives ``(cls, v, handler[, info])`` and REPLACES the
+field's standard value kernels; calling ``handler(v)`` runs them —
+per value, in pure Python (:mod:`satya_spark.pykernels`, whose
+kernel-twins are hypothesis-fuzz-pinned against the compiled kernels
+in tests/test_property.py). The reference's own runner passes an
+IDENTITY handler (``src/satya/validators.py:185-189``); ours is
+strictly stronger — the handler actually performs the validation
+Pydantic semantics promise. Works on both paths: small-batch runs it
+inline, ``validate_df`` ships the handler inside the Arrow-batched
+UDF closure (presence/``required`` is not replaced, matching
+``plain``).
 """
 
 # NB: no `from __future__ import annotations` — pandas_udf infers the
@@ -100,15 +108,9 @@ def field_validator(
     """Register a per-field validator on a Model class (reference
     ``src/satya/validators.py:66-107``). The decorated function keeps
     its callable identity; the metaclass collects it."""
-    if mode == "wrap":
-        raise NotImplementedError(
-            "mode='wrap' validators (imperative handler wrapping) have no"
-            " declarative columnar analog — adjudicated N-A, COVERAGE.md"
-            " §2.8; use mode='before'/'after'/'plain'"
-        )
-    if mode not in ("before", "after", "plain"):
+    if mode not in ("before", "after", "plain", "wrap"):
         raise ValueError(
-            f"mode must be 'before', 'after', or 'plain', got {mode!r}"
+            f"mode must be 'before', 'after', 'plain', or 'wrap', got {mode!r}"
         )
     if not fields:
         raise ValueError("field_validator requires at least one field name")
@@ -217,6 +219,20 @@ def call_field_validator(meta: FieldValidatorMeta, cls, value, info: ValidationI
     return meta.func(cls, value)
 
 
+def call_wrap_validator(
+    meta: FieldValidatorMeta, cls, value, handler, info: ValidationInfo
+):
+    """``mode='wrap'``: ``func(cls, v, handler[, info])`` — the
+    validator decides whether/when to run the field's standard value
+    kernels by calling ``handler(v)`` (reference
+    ``src/satya/validators.py:185-189`` passes an identity handler;
+    ours runs the real kernels via
+    :func:`satya_spark.pykernels.standard_handler`)."""
+    if meta.nargs >= 4:
+        return meta.func(cls, value, handler, info)
+    return meta.func(cls, value, handler)
+
+
 def call_model_validator_before(meta: ModelValidatorMeta, cls, values: dict):
     if meta.nargs >= 3:
         return meta.func(cls, values, ValidationInfo(data=values))
@@ -226,15 +242,23 @@ def call_model_validator_before(meta: ModelValidatorMeta, cls, values: dict):
 # --- scale path (validate_df) ----------------------------------------------
 
 
-def _fv_pandas_udf(meta: FieldValidatorMeta, fname: str, dtype: str, token):
+def _fv_pandas_udf(meta: FieldValidatorMeta, fname: str, dtype: str, token, fspec=None):
     """struct<v,err> pandas UDF applying one field validator
-    elementwise (Arrow-batched; nulls skip, like every value kernel)."""
+    elementwise (Arrow-batched; nulls skip, like every value kernel).
+    For ``mode='wrap'`` the closure carries the field's pure-Python
+    standard-kernel handler (:mod:`satya_spark.pykernels`) — no
+    session reference ships to the executor."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from .coerce import spark_type
 
     func, nargs, vname = meta.func, meta.nargs, meta.name
+    handler = None
+    if meta.mode == "wrap":
+        from .pykernels import standard_handler
+
+        handler = standard_handler(fspec)
 
     @pandas_udf(f"v {spark_type(dtype)}, err string")
     def _apply(s: pd.Series) -> pd.DataFrame:
@@ -246,7 +270,14 @@ def _fv_pandas_udf(meta: FieldValidatorMeta, fname: str, dtype: str, token):
                 continue
             try:
                 info = ValidationInfo(field_name=fname, config=token.model_config)
-                nv = func(token, v, info) if nargs >= 3 else func(token, v)
+                if handler is not None:
+                    nv = (
+                        func(token, v, handler, info)
+                        if nargs >= 4
+                        else func(token, v, handler)
+                    )
+                else:
+                    nv = func(token, v, info) if nargs >= 3 else func(token, v)
                 vals.append(nv)
                 errs.append(None)
             except Exception as e:  # noqa: BLE001 — message IS the verdict
@@ -327,9 +358,11 @@ def apply_validators_df(cls, df):
     out = df
     idx = 0
 
+    fspecs = {f.name: f for f in spec.fields}
+
     def _apply_field(out, meta: FieldValidatorMeta, fname: str):
         nonlocal idx
-        udf = _fv_pandas_udf(meta, fname, dtypes[fname], token)
+        udf = _fv_pandas_udf(meta, fname, dtypes[fname], token, fspecs.get(fname))
         tmp, err = f"__fv{idx}", f"__fverr{idx}"
         idx += 1
         out = out.withColumn(tmp, udf(F.col(fname)))
@@ -346,12 +379,14 @@ def apply_validators_df(cls, df):
 
     plain_fields = set()
     for meta in fvs:
-        if meta.mode not in ("before", "plain"):
+        if meta.mode not in ("before", "plain", "wrap"):
             continue
         for fname in meta.fields:
             if fname in dtypes:
                 out = _apply_field(out, meta, fname)
-                if meta.mode == "plain":
+                if meta.mode in ("plain", "wrap"):
+                    # both REPLACE the field's standard value kernels —
+                    # wrap's handler is how the validator opts back in
                     plain_fields.add(fname)
 
     if plain_fields:

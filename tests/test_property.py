@@ -22,46 +22,19 @@ ENUMS = [("red", "green"), ("a", "b", "c")]
 
 
 def py_validate_str(f: FieldSpec, v):
-    """Pure-Python satya-semantics oracle for one string field."""
+    """satya-semantics oracle for one scalar field: presence here,
+    value kernels via the LIBRARY's pure-Python twins
+    (satya_spark.pykernels — the code that powers mode='wrap'
+    handlers). Fuzzing the shipped twins against the compiled kernels
+    pins handler ≡ kernel equivalence for free."""
+    from satya_spark.pykernels import value_violations
+
     if v is None:
         return ["required"] if f.required else []
-    out = []
-    if f.min_length is not None and len(v.strip()) < f.min_length:
-        out.append("min_length")
-    if f.max_length is not None and len(v) > f.max_length:
-        out.append("max_length")
-    if f.pattern is not None and not re.search(f.pattern, v):
-        out.append("pattern")
-    if f.email and not (re.search(EMAIL_PATTERN, v) and len(v) <= EMAIL_MAX_LEN):
-        out.append("email")
-    if f.url and not re.search(URL_PATTERN, v):
-        out.append("url")
-    if f.enum is not None and v not in f.enum:
-        out.append("enum")
-    return out
+    return value_violations(f, v)
 
 
-def py_validate_num(f: FieldSpec, v):
-    if v is None:
-        return ["required"] if f.required else []
-    out = []
-    if f.ge is not None and not (v >= f.ge):
-        out.append("ge")
-    if f.le is not None and not (v <= f.le):
-        out.append("le")
-    if f.gt is not None and not (v > f.gt):
-        out.append("gt")
-    if f.lt is not None and not (v < f.lt):
-        out.append("lt")
-    if f.multiple_of is not None:
-        if isinstance(v, int):
-            if v % int(f.multiple_of) != 0:
-                out.append("multiple_of")
-        else:
-            r = abs(v % f.multiple_of)
-            if not (r < 1e-10 or abs(r - f.multiple_of) < 1e-10):
-                out.append("multiple_of")
-    return out
+py_validate_num = py_validate_str  # same presence + twin dispatch
 
 
 str_field = st.builds(

@@ -160,9 +160,70 @@ def test_check_fields_rejects_unknown_names():
             return v
 
 
-def test_wrap_mode_rejected_loudly():
-    with pytest.raises(NotImplementedError, match="wrap"):
-        field_validator("x", mode="wrap")
+def test_wrap_mode_handler_runs_standard_kernels(spark):
+    """mode='wrap' (reference src/satya/validators.py:143-202): the
+    validator REPLACES standard validation; handler(v) runs it. Our
+    handler actually executes the field's value kernels (pykernels
+    twins) — the reference's own runner passes identity."""
+
+    class Wrapped(Model):
+        code: str = Field(pattern=r"^[A-Z]{3}$")
+
+        @field_validator("code", mode="wrap")
+        def normalize_then_validate(cls, v, handler, info):
+            return handler(v.strip().upper())
+
+    Wrapped.validator(spark)
+    assert Wrapped(code=" abc ").code == "ABC"  # handler passed post-normalize
+    with pytest.raises(ModelValidationError) as ei:
+        Wrapped(code="nope!")
+    assert "pattern" in str(ei.value)
+
+
+def test_wrap_mode_skipping_handler_bypasses_kernels(spark):
+    class Escape(Model):
+        n: int = Field(ge=100)
+
+        @field_validator("n", mode="wrap")
+        def allow_sentinel(cls, v, handler):  # 3-arg shape, no info
+            if v == -1:
+                return v  # sentinel skips standard validation entirely
+            return handler(v)
+
+    Escape.validator(spark)
+    assert Escape(n=-1).n == -1  # ge=100 never ran
+    assert Escape(n=150).n == 150
+    with pytest.raises(ModelValidationError):
+        Escape(n=3)  # handler re-imposed ge=100
+    # presence is NOT replaced by wrap (same rule as plain)
+    with pytest.raises(ModelValidationError):
+        Escape()
+
+
+def test_validate_df_wrap_mode(spark):
+    """Scale-path wrap: handler ships inside the Arrow-batched UDF
+    closure; verdicts land in violations as (field, validator, msg)."""
+
+    class EscapeDf(Model):
+        n: int = Field(ge=100)
+
+        @field_validator("n", mode="wrap")
+        def allow_sentinel(cls, v, handler, info):
+            if v == -1:
+                return v
+            return handler(v)
+
+    df = spark.createDataFrame([(-1,), (150,), (3,), (None,)], "n long")
+    rows = EscapeDf.validate_df(df).orderBy("n", ascending=False).collect()
+    by_n = {r["n"]: r for r in rows}
+    assert by_n[-1]["valid"]  # sentinel bypassed ge
+    assert by_n[150]["valid"]
+    assert not by_n[3]["valid"]
+    v3 = by_n[3]["violations"][0]
+    assert v3["constraint_name"] == "allow_sentinel" and "ge" in v3["offending_value"]
+    # null: wrap skipped, required kernel still fires
+    vnull = {(v["field"], v["constraint_name"]) for v in by_n[None]["violations"]}
+    assert vnull == {("n", "required")}
 
 
 def test_two_arg_signature_supported(spark):
