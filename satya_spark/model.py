@@ -330,6 +330,61 @@ def _prefix_errors(prefix: str, errors: list) -> list:
     ]
 
 
+_PATH_MISSING = object()
+
+# Dotted value-rule paths the ENCLOSING model replaced via a
+# plain/wrap validator, threaded into nested constructors so the
+# inner class's compiled kernels are dropped for exactly those leaves
+# ("*" = the whole subtree was replaced). Context-local, so
+# concurrent hydrations don't interfere.
+import contextvars as _contextvars
+
+_SUPPRESSED_RULES: _contextvars.ContextVar = _contextvars.ContextVar(
+    "satya_spark_suppressed_value_rules", default=frozenset()
+)
+
+
+def _sub_suppressed(plain_fields: set, fname: str) -> frozenset:
+    """Plain/wrap paths under ``fname``, re-rooted for the nested
+    class's constructor ('meta.email' → 'email'; plain on 'meta'
+    itself → '*')."""
+    if fname in plain_fields or "*" in plain_fields:
+        return frozenset(("*",))
+    return frozenset(
+        p.split(".", 1)[1] for p in plain_fields if p.startswith(fname + ".")
+    )
+
+
+def _path_get(obj: Any, parts: list):
+    """Resolve a dotted path through plain dicts (and hydrated Model
+    instances on the after-transform pass); _PATH_MISSING when any
+    hop is absent or untraversable."""
+    for p in parts:
+        if isinstance(obj, dict):
+            if p not in obj:
+                return _PATH_MISSING
+            obj = obj[p]
+        elif isinstance(obj, Model):
+            d = obj.__dict__.get("_data") or {}
+            if p not in d:
+                return _PATH_MISSING
+            obj = d[p]
+        else:
+            return _PATH_MISSING
+    return obj
+
+
+def _path_set(obj: Any, parts: list, value: Any) -> None:
+    """Write through the same containers _path_get traverses. Callers
+    must have confirmed the path resolves."""
+    for p in parts[:-1]:
+        obj = obj[p] if isinstance(obj, dict) else obj.__dict__["_data"][p]
+    if isinstance(obj, dict):
+        obj[parts[-1]] = value
+    else:
+        obj.__dict__["_data"][parts[-1]] = value
+
+
 class Model(metaclass=ModelMeta):
     """Reference-shaped Model base (src/satya/__init__.py:330-900,
     reduced to the validation/dump surface). Nested composition —
@@ -378,38 +433,53 @@ class Model(metaclass=ModelMeta):
         fv_errs: list = []
         plain_fields: set = set()
         if fvs:
+            import copy
+
             from .validators import call_wrap_validator
 
             data = dict(data)
+            copied: set = set()
             for fv in fvs:
                 if fv.mode not in ("before", "plain", "wrap"):
                     continue
                 for fname in fv.fields:
                     if fv.mode in ("plain", "wrap"):
                         plain_fields.add(fname)
-                    if fname not in data or data[fname] is None:
+                    parts = fname.split(".")
+                    if len(parts) > 1 and parts[0] not in copied and isinstance(
+                        data.get(parts[0]), dict
+                    ):
+                        # copy-on-write: a dotted transform must never
+                        # mutate the caller's nested input dict
+                        data[parts[0]] = copy.deepcopy(data[parts[0]])
+                        copied.add(parts[0])
+                    cur = _path_get(data, parts)
+                    if cur is _PATH_MISSING or cur is None:
                         continue  # nulls skip value rules (engine-wide)
                     try:
                         info = ValidationInfo(fname, dict(data), config)
                         if fv.mode == "wrap":
                             from .pykernels import standard_handler
 
-                            data[fname] = call_wrap_validator(
-                                fv, cls, data[fname],
+                            nv = call_wrap_validator(
+                                fv, cls, cur,
                                 standard_handler(cls.spec_field(fname)),
                                 info,
                             )
                         else:
-                            data[fname] = call_field_validator(
-                                fv, cls, data[fname], info
-                            )
+                            nv = call_field_validator(fv, cls, cur, info)
+                        _path_set(data, parts, nv)
                     except Exception as e:  # noqa: BLE001
                         fv_errs.append(
                             ValidationError(
-                                fname, str(e) or fv.name, value=data[fname],
+                                fname, str(e) or fv.name, value=cur,
                                 constraint=fv.name,
                             )
                         )
+        # value rules the ENCLOSING model's plain/wrap validators
+        # replaced for this instance's subtree (set while a parent
+        # hydrates us; empty at the top level)
+        plain_fields |= set(_SUPPRESSED_RULES.get())
         nested_names = {
             n for n, f in cls.__fields__.items() if getattr(f, "_nested", None)
         }
@@ -419,15 +489,21 @@ class Model(metaclass=ModelMeta):
             for k, v in data.items()
             if k not in nested_names and k in cls.__fields__
         }
-        # 'plain' REPLACES a field's VALUE kernels but not presence:
-        # the compiled validator still runs (required), its value-rule
-        # verdicts for plain fields are dropped
-        errs = fv_errs + [
-            e
-            for e in cls.validator().validate(scalars).errors
-            if e.field.split(".")[0] not in plain_fields
-            or e.constraint == "required"
-        ]
+        # 'plain'/'wrap' REPLACE a field's VALUE kernels but not
+        # presence/shape policy: required and extra-field verdicts
+        # survive; value-rule verdicts for replaced paths (exact
+        # dotted path, any path under a replaced prefix, or
+        # everything when a parent replaced this whole subtree via
+        # '*') are dropped — the same predicate as the validate_df
+        # scale path (validators.apply_validators_df)
+        def _rule_replaced(field: str) -> bool:
+            return (
+                "*" in plain_fields
+                or field in plain_fields
+                or field.split(".")[0].split("[")[0] in plain_fields
+            )
+
+        errs = list(cls.validator().validate(scalars).errors)
         if config.get("extra", "ignore") == "forbid" and extras:
             errs.extend(
                 ValidationError(
@@ -463,55 +539,80 @@ class Model(metaclass=ModelMeta):
                         None if fname in data else _default_value(fdef)
                     )
                 continue
-            if kind == "model":
-                hydrated[fname] = self._hydrate_one(fname, mcls, v, errs)
-            elif kind == "list_model":
-                if not isinstance(v, (list, tuple)):
-                    errs.append(
-                        ValidationError(
-                            fname,
-                            f"Expected list, got {type(v).__name__}",
-                            value=v,
-                            constraint="type",
+            if fname in plain_fields or "*" in plain_fields:
+                # plain/wrap on the WHOLE nested field: the validator's
+                # return IS the value (Pydantic plain semantics) —
+                # stored verbatim, standard nested validation replaced
+                hydrated[fname] = v
+                continue
+            # plain/wrap on a DOTTED path under this field: thread the
+            # re-rooted paths into the nested constructor so the inner
+            # class drops exactly those leaf kernels
+            _sub = _sub_suppressed(plain_fields, fname)
+            _tok = _SUPPRESSED_RULES.set(_sub) if _sub else None
+            try:
+                if kind == "model":
+                    hydrated[fname] = self._hydrate_one(fname, mcls, v, errs)
+                elif kind == "list_model":
+                    if not isinstance(v, (list, tuple)):
+                        errs.append(
+                            ValidationError(
+                                fname,
+                                f"Expected list, got {type(v).__name__}",
+                                value=v,
+                                constraint="type",
+                            )
                         )
-                    )
-                    continue
-                s = fdef._spec
-                if s.min_items is not None and len(v) < s.min_items:
-                    errs.append(
-                        ValidationError(
-                            fname,
-                            f"min_items violated ({len(v)} < {s.min_items})",
-                            constraint="min_items",
+                        continue
+                    s = fdef._spec
+                    if s.min_items is not None and len(v) < s.min_items:
+                        errs.append(
+                            ValidationError(
+                                fname,
+                                f"min_items violated ({len(v)} < {s.min_items})",
+                                constraint="min_items",
+                            )
                         )
-                    )
-                if s.max_items is not None and len(v) > s.max_items:
-                    errs.append(
-                        ValidationError(
-                            fname,
-                            f"max_items violated ({len(v)} > {s.max_items})",
-                            constraint="max_items",
+                    if s.max_items is not None and len(v) > s.max_items:
+                        errs.append(
+                            ValidationError(
+                                fname,
+                                f"max_items violated ({len(v)} > {s.max_items})",
+                                constraint="max_items",
+                            )
                         )
-                    )
-                hydrated[fname] = [
-                    self._hydrate_one(f"{fname}[{i}]", mcls, el, errs)
-                    for i, el in enumerate(v)
-                ]
-            elif kind == "dict_model":
-                if not isinstance(v, dict):
-                    errs.append(
-                        ValidationError(
-                            fname,
-                            f"Expected dict, got {type(v).__name__}",
-                            value=v,
-                            constraint="type",
+                    hydrated[fname] = [
+                        self._hydrate_one(f"{fname}[{i}]", mcls, el, errs)
+                        for i, el in enumerate(v)
+                    ]
+                elif kind == "dict_model":
+                    if not isinstance(v, dict):
+                        errs.append(
+                            ValidationError(
+                                fname,
+                                f"Expected dict, got {type(v).__name__}",
+                                value=v,
+                                constraint="type",
+                            )
                         )
-                    )
-                    continue
-                hydrated[fname] = {
-                    k: self._hydrate_one(f"{fname}.{k}", mcls, el, errs)
-                    for k, el in v.items()
-                }
+                        continue
+                    hydrated[fname] = {
+                        k: self._hydrate_one(f"{fname}.{k}", mcls, el, errs)
+                        for k, el in v.items()
+                    }
+            finally:
+                if _tok is not None:
+                    _SUPPRESSED_RULES.reset(_tok)
+        # apply the replacement filter to EVERYTHING standard —
+        # compiled scalar kernels, extra-field policy, and nested
+        # hydration errors alike; the decorated validators' own
+        # verdicts (fv_errs) are never filtered
+        errs = fv_errs + [
+            e
+            for e in errs
+            if e.constraint in ("required", "extra_field")
+            or not _rule_replaced(e.field)
+        ]
         if errs:
             raise ModelValidationError(errs)
         d = {}
@@ -534,16 +635,22 @@ class Model(metaclass=ModelMeta):
             if fv.mode != "after":
                 continue
             for fname in fv.fields:
-                if fname not in d or d[fname] is None:
+                parts = fname.split(".")
+                cur = _path_get(d, parts)
+                if cur is _PATH_MISSING or cur is None:
                     continue
                 try:
-                    d[fname] = call_field_validator(
-                        fv, cls, d[fname], ValidationInfo(fname, dict(d), config)
+                    _path_set(
+                        d,
+                        parts,
+                        call_field_validator(
+                            fv, cls, cur, ValidationInfo(fname, dict(d), config)
+                        ),
                     )
                 except Exception as e:  # noqa: BLE001
                     after_errs.append(
                         ValidationError(
-                            fname, str(e) or fv.name, value=d[fname],
+                            fname, str(e) or fv.name, value=cur,
                             constraint=fv.name,
                         )
                     )

@@ -160,28 +160,41 @@ def _positional_arity(func: Callable) -> int:
 
 def collect_validators(cls) -> tuple:
     """Walk the MRO (bases first, definition order within each class)
-    and collect decorated validators; dedupe on function identity so
-    an override replaces, not duplicates. ``check_fields=True``
-    rejects names that resolve to no declared field — at class
-    creation, like the rest of the metaclass."""
-    fvs: List[FieldValidatorMeta] = []
-    mvs: List[ModelValidatorMeta] = []
-    seen = set()
+    and collect decorated validators, keyed by ATTRIBUTE name so a
+    subclass method redefining a base validator replaces it (standard
+    override semantics) rather than running both — even when the
+    override is itself undecorated but shadows a decorated base
+    attribute. An override keeps the base definition's position in
+    the execution order. ``check_fields=True`` rejects names that
+    resolve to no declared field — at class creation, like the rest
+    of the metaclass."""
+    fv_by_name: Dict[str, Optional[FieldValidatorMeta]] = {}
+    mv_by_name: Dict[str, Optional[ModelValidatorMeta]] = {}
     for klass in reversed(cls.__mro__):
-        for attr in vars(klass).values():
+        for attr_name, attr in vars(klass).items():
             inner = (
                 attr.__func__
                 if isinstance(attr, (classmethod, staticmethod))
                 else attr
             )
             fm = getattr(inner, "__validator_meta__", None)
-            if fm is not None and id(fm.func) not in seen:
-                seen.add(id(fm.func))
-                fvs.append(fm)
             mm = getattr(inner, "__model_validator_meta__", None)
-            if mm is not None and id(mm.func) not in seen:
-                seen.add(id(mm.func))
-                mvs.append(mm)
+            if fm is not None:
+                fv_by_name[attr_name] = fm
+                mv_by_name.pop(attr_name, None)
+            elif mm is not None:
+                mv_by_name[attr_name] = mm
+                fv_by_name.pop(attr_name, None)
+            else:
+                # plain attribute shadowing a decorated base validator
+                # deactivates it (the derived class chose to redefine
+                # it without @field_validator)
+                if attr_name in fv_by_name:
+                    fv_by_name.pop(attr_name)
+                if attr_name in mv_by_name:
+                    mv_by_name.pop(attr_name)
+    fvs: List[FieldValidatorMeta] = list(fv_by_name.values())
+    mvs: List[ModelValidatorMeta] = list(mv_by_name.values())
     declared = set(getattr(cls, "__fields__", {}) or {})
     for fm in fvs:
         if not fm.check_fields:
@@ -390,14 +403,24 @@ def apply_validators_df(cls, df):
                     plain_fields.add(fname)
 
     if plain_fields:
-        # plain replaces VALUE kernels; presence (required) survives
+        # plain/wrap replace VALUE kernels; presence (required)
+        # survives. A plain field drops its own rules — matched on the
+        # FULL (possibly dotted) rule path as well as the top-level
+        # prefix, so @field_validator('meta.email', mode='plain')
+        # drops exactly the meta.email kernels while plain on 'meta'
+        # drops every rule under it.
+        def _replaced(rule_field: str) -> bool:
+            return (
+                rule_field in plain_fields
+                or rule_field.split(".")[0].split("[")[0] in plain_fields
+            )
+
         compiled = CompiledSpec(
             spec,
             [
                 r
                 for r in compiled.rules
-                if r.constraint == "required"
-                or r.field.split(".")[0].split("[")[0] not in plain_fields
+                if r.constraint == "required" or not _replaced(r.field)
             ],
         )
     out = compiled.with_validation(out)

@@ -143,6 +143,35 @@ def test_validators_inherit(spark):
         Child(name="x", age=-1, email="ada@math.org")
 
 
+def test_validator_override_replaces_base(spark):
+    """A subclass redefining a validator by name REPLACES the base
+    version (standard override semantics) — it must not run both."""
+
+    class Base(Model):
+        x: int
+
+        @field_validator("x", mode="before")
+        def vx(cls, v, info):
+            return v + 1
+
+    class Child(Base):
+        @field_validator("x", mode="before")
+        def vx(cls, v, info):
+            return v * 2
+
+    for c in (Base, Child):
+        c.validator(spark)
+    assert Base(x=1).x == 2
+    assert Child(x=1).x == 2  # override alone: 1*2, not (1+1)*2
+
+    class Disabled(Base):
+        def vx(self):  # undecorated shadow deactivates the base one
+            return None
+
+    Disabled.validator(spark)
+    assert Disabled(x=1).x == 1
+
+
 def test_check_fields_rejects_unknown_names():
     with pytest.raises(TypeError, match="unknown"):
         class Bad(Model):
@@ -349,3 +378,110 @@ def test_showcase_combined_example(spark):
     assert ok.product_id.strip().upper() == "PROD-77"
     with pytest.raises(ModelValidationError):
         OrderItem(product_id="SKU-1", quantity=2)
+
+
+# --- dotted paths into nested models (both paths) ---------------------------
+
+class _Inner(Model):
+    email: str = Field(pattern=r"^[a-z]+@[a-z]+\.[a-z]+$")
+    code: str = Field(min_length=3)
+
+
+def test_dotted_before_transform_small_batch(spark):
+    class Account(Model):
+        name: str
+        inner: _Inner
+
+        @field_validator("inner.email", mode="before")
+        def normalize(cls, v, info):
+            return v.strip().lower()
+
+    for c in (_Inner, Account):
+        c.validator(spark)
+    raw = {"email": "  ADA@MATH.ORG ", "code": "xyz"}
+    a = Account(name="x", inner=raw)
+    assert a.inner.email == "ada@math.org"
+    # copy-on-write: the caller's nested dict is untouched
+    assert raw["email"] == "  ADA@MATH.ORG "
+
+
+def test_dotted_plain_replaces_exact_leaf(spark):
+    class Outer(Model):
+        inner: _Inner
+
+        @field_validator("inner.email", mode="plain")
+        def any_at(cls, v, info):
+            if "@" not in v:
+                raise ValueError("needs @")
+            return v
+
+    for c in (_Inner, Outer):
+        c.validator(spark)
+    # pattern kernel replaced for inner.email only
+    o = Outer(inner={"email": "WEIRD@X", "code": "abc"})
+    assert o.inner.email == "WEIRD@X"
+    # the SIBLING leaf's kernel survives
+    with pytest.raises(ModelValidationError):
+        Outer(inner={"email": "WEIRD@X", "code": "a"})
+    # the plain validator's own verdict still applies
+    with pytest.raises(ModelValidationError):
+        Outer(inner={"email": "nope", "code": "abc"})
+
+
+def test_plain_on_whole_nested_field_is_verbatim(spark):
+    class Outer2(Model):
+        inner: _Inner
+
+        @field_validator("inner", mode="plain")
+        def take(cls, v, info):
+            return v
+
+    for c in (_Inner, Outer2):
+        c.validator(spark)
+    # Pydantic plain semantics: the validator's return IS the value
+    o = Outer2(inner={"email": "not-an-email", "code": ""})
+    assert o.inner == {"email": "not-an-email", "code": ""}
+    assert o.model_dump()["inner"]["code"] == ""
+
+
+def test_dotted_after_transform_small_batch(spark):
+    class Outer3(Model):
+        inner: _Inner
+
+        @field_validator("inner.email", mode="after")
+        def tag(cls, v, info):
+            return v + "!"
+
+    for c in (_Inner, Outer3):
+        c.validator(spark)
+    o = Outer3(inner={"email": "ada@math.org", "code": "xyz"})
+    assert o.inner.email == "ada@math.org!"
+
+
+def test_validate_df_dotted_plain_parity(spark):
+    class Outer4(Model):
+        inner: _Inner
+
+        @field_validator("inner.email", mode="plain")
+        def any_at(cls, v, info):
+            if "@" not in v:
+                raise ValueError("needs @")
+            return v
+
+    for c in (_Inner, Outer4):
+        c.validator(spark)
+    df = spark.createDataFrame(
+        [
+            (("WEIRD@X", "abc"),),  # plain passes, sibling kernel passes
+            (("WEIRD@X", "a"),),    # sibling min_length survives
+            (("nope", "abc"),),     # plain's own verdict
+        ],
+        "inner struct<email:string,code:string>",
+    )
+    rows = Outer4.validate_df(df).orderBy("inner.email", "inner.code").collect()
+    verdicts = [(r["inner"]["email"], r["inner"]["code"], r["valid"]) for r in rows]
+    assert verdicts == [
+        ("WEIRD@X", "a", False),
+        ("WEIRD@X", "abc", True),
+        ("nope", "abc", False),
+    ]
