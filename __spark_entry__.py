@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import sys
 from collections.abc import Callable
+from typing import Optional
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -762,6 +763,104 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- decorator-validator gate (SURVEY.md §2.8) ------------------------------
+# The reference's @field_validator/@model_validator surface
+# (src/satya/validators.py:66-140) run AT SCALE through validate_df,
+# oracle-gated: before-mode feeds the kernels, plain-mode REPLACES the
+# field's standard kernels, after-mode rewrites validated values, and
+# the model validator accumulates row-scope verdicts — all reproduced
+# as plain SQL in the DuckDB twin.
+
+def _decorated_turn_cls():
+    """Built lazily (and cached) so importing this module never touches
+    Model metaclass machinery at driver-probe time."""
+    global _DECORATED_TURN
+    if _DECORATED_TURN is None:
+        from satya_spark import Field as MField
+        from satya_spark import Model, field_validator, model_validator
+
+        class _DecoratedTurn(Model):
+            conv_id: str
+            turn_idx: int = MField(ge=0, le=10_000_000)
+            role: Optional[str] = MField(enum=("SYSTEM", "USER", "ASSISTANT"))
+            text: Optional[str] = MField(min_length=1, max_length=4000)
+
+            @field_validator("role", mode="before")
+            def norm_role(cls, v, info):
+                # feeds the enum kernel: 'moderator' -> 'MODERATOR'
+                return v.strip().upper()
+
+            @field_validator("text", mode="plain")
+            def text_ok(cls, v, info):
+                # REPLACES min/max_length: the planted 4001-char text
+                # passes here, blank/whitespace-only raises
+                t = v.strip()
+                if not t:
+                    raise ValueError("blank text")
+                return t
+
+            @field_validator("conv_id", mode="after")
+            def brand(cls, v, info):
+                return "t:" + v
+
+            @model_validator(mode="after")
+            def no_moderator(self):
+                if getattr(self, "role", None) == "MODERATOR":
+                    raise ValueError("moderator turns are not allowed")
+                return self
+
+        _DECORATED_TURN = _DecoratedTurn
+    return _DECORATED_TURN
+
+
+_DECORATED_TURN = None
+
+
+def q_decorator_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = from_tpch(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    out = _decorated_turn_cls().validate_df(df)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        F.array_join(
+            F.array_sort(F.transform("violations", lambda v: v["constraint_name"])),
+            ",",
+        ).alias("constraints"),
+        F.size("violations").cast("long").alias("n_viol"),
+        "valid",
+    )
+
+
+_DECORATOR_ORACLE_VIOL = (
+    "list_filter(["
+    "CASE WHEN turn_idx < 0 THEN 'ge' END, "
+    "CASE WHEN turn_idx > 10000000 THEN 'le' END, "
+    "CASE WHEN role IS NOT NULL AND upper(role) NOT IN"
+    " ('SYSTEM','USER','ASSISTANT') THEN 'enum' END, "
+    "CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 'text_ok' END, "
+    "CASE WHEN upper(role) = 'MODERATOR' THEN 'no_moderator' END"
+    "], x -> x IS NOT NULL)"
+)
+
+_DECORATOR_ORACLE_SQL = (
+    "SELECT conv_id, turn_idx, role, text, "
+    "coalesce(array_to_string(list_sort(viol), ','), '') AS constraints, "
+    "CAST(len(viol) AS BIGINT) AS n_viol, "
+    "len(viol) = 0 AS valid "
+    "FROM ("
+    "SELECT concat('t:', conv_id) AS conv_id, "
+    "CAST(turn_idx AS BIGINT) AS turn_idx, "
+    "upper(role) AS role, "
+    "CASE WHEN text IS NULL THEN NULL "
+    "WHEN trim(text) = '' THEN text "
+    "ELSE trim(text) END AS text, "
+    f"{_DECORATOR_ORACLE_VIOL} AS viol "
+    "FROM transcripts) t"
+)
+
+
 # --- events table (second spec deployment + sessionization) ---------------
 
 def q_events_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding": q_dedup_embedding,
             "dedup_embedding_expr": q_dedup_embedding_expr,
             "media_features": q_media_features,
+            "decorator_validate": q_decorator_validate,
             "events_drift_daily": q_events_drift_daily,
             "events_validate": q_events_validate,
             "events_referential": q_events_referential,
@@ -911,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         + _cs(_item_spec()).violations_sql("t2", KEYS)
         + "\n) v"
     )
+    out["decorator_validate"] = _duck(_DECORATOR_ORACLE_SQL)
     out["row_verdicts"] = _duck(
         f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
         f"CAST(count(CASE WHEN ({valid}) THEN 1 END) AS BIGINT) AS n_valid, "
