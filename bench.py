@@ -281,6 +281,18 @@ def phase1(cpus: int, sf_dir: str, fixture_path: str, staged: str) -> None:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm
         times[name] = round(_best(lambda: fn(spark, sf_dir).count(), n=3), 3)
+    # decorator-validator tier: the Arrow pandas-UDF surface
+    # (@field_validator before/plain/after + @model_validator) over
+    # the same fixture the pure-JVM kernels run on — filter on the
+    # recomputed valid flag so every validator's err output is forced
+    # (a bare count would let Catalyst prune the UDF projections)
+    _dvq = qs["decorator_validate"]
+
+    def _dv():
+        return _dvq(spark, sf_dir).filter(~F.col("valid")).count()
+
+    _dv()  # warm
+    times["decorator_validate"] = round(_best(_dv, n=3), 3)
     # production quantile path: the mergeable GK sketch
     # (approx_percentile) vs the exact sort-based config the oracle
     # gate runs — the sketch is the 10^12-row configuration
