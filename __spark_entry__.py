@@ -801,12 +801,21 @@ def _decorated_turn_cls():
 
             @field_validator("conv_id", mode="after")
             def brand(cls, v, info):
+                # gated: applies only to rows that passed validation
+                # (small-batch raises before 'after' runs)
                 return "t:" + v
 
             @model_validator(mode="after")
-            def no_moderator(self):
-                if getattr(self, "role", None) == "MODERATOR":
-                    raise ValueError("moderator turns are not allowed")
+            def tail_guard(self):
+                # fires on CLEAN long-tail assistant turns; the
+                # turn_idx > 100 branch would also hit the planted
+                # le-violating rows — those are already invalid, so
+                # the after-stage gate suppresses it (small-batch
+                # construction raised first), pinned by the oracle
+                if self.turn_idx > 100 or (
+                    self.role == "ASSISTANT" and self.turn_idx >= 5
+                ):
+                    raise ValueError("assistant may not close long conversations")
                 return self
 
         _DECORATED_TURN = _DecoratedTurn
@@ -833,31 +842,40 @@ def q_decorator_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECORATOR_ORACLE_VIOL = (
+_DECORATOR_ORACLE_PRE = (
     "list_filter(["
     "CASE WHEN turn_idx < 0 THEN 'ge' END, "
     "CASE WHEN turn_idx > 10000000 THEN 'le' END, "
     "CASE WHEN role IS NOT NULL AND upper(role) NOT IN"
     " ('SYSTEM','USER','ASSISTANT') THEN 'enum' END, "
-    "CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 'text_ok' END, "
-    "CASE WHEN upper(role) = 'MODERATOR' THEN 'no_moderator' END"
+    "CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 'text_ok' END"
     "], x -> x IS NOT NULL)"
 )
 
 _DECORATOR_ORACLE_SQL = (
-    "SELECT conv_id, turn_idx, role, text, "
+    # after-stage gating parity: the 't:' brand and the tail_guard
+    # verdict apply ONLY where the pre-stage (kernels + plain) passed
+    "SELECT "
+    "CASE WHEN len(pre) = 0 THEN concat('t:', conv_id)"
+    " ELSE conv_id END AS conv_id, "
+    "turn_idx, role, text, "
     "coalesce(array_to_string(list_sort(viol), ','), '') AS constraints, "
     "CAST(len(viol) AS BIGINT) AS n_viol, "
     "len(viol) = 0 AS valid "
     "FROM ("
-    "SELECT concat('t:', conv_id) AS conv_id, "
+    "SELECT conv_id, turn_idx, role, text, pre, "
+    "CASE WHEN len(pre) = 0 AND (turn_idx > 100 OR"
+    " (role = 'ASSISTANT' AND turn_idx >= 5))"
+    " THEN list_append(pre, 'tail_guard') ELSE pre END AS viol "
+    "FROM ("
+    "SELECT conv_id, "
     "CAST(turn_idx AS BIGINT) AS turn_idx, "
     "upper(role) AS role, "
     "CASE WHEN text IS NULL THEN NULL "
     "WHEN trim(text) = '' THEN text "
     "ELSE trim(text) END AS text, "
-    f"{_DECORATOR_ORACLE_VIOL} AS viol "
-    "FROM transcripts) t"
+    f"{_DECORATOR_ORACLE_PRE} AS pre "
+    "FROM transcripts) t0) t"
 )
 
 

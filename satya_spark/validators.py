@@ -373,20 +373,26 @@ def apply_validators_df(cls, df):
 
     fspecs = {f.name: f for f in spec.fields}
 
-    def _apply_field(out, meta: FieldValidatorMeta, fname: str):
+    def _apply_field(out, meta: FieldValidatorMeta, fname: str, gate=None):
         nonlocal idx
         udf = _fv_pandas_udf(meta, fname, dtypes[fname], token, fspecs.get(fname))
         tmp, err = f"__fv{idx}", f"__fverr{idx}"
         idx += 1
         out = out.withColumn(tmp, udf(F.col(fname)))
+        v, e = F.col(f"{tmp}.v"), F.col(f"{tmp}.err")
+        if gate is not None:
+            # after-mode gate: the transform takes effect (and its
+            # verdict counts) only where standard validation and every
+            # earlier validator passed — matching the small-batch
+            # order, where construction raises before 'after' runs
+            v = F.when(gate, v).otherwise(F.col(fname))
+            e = F.when(gate, e)
         if "." in fname:
             parent, path = fname.split(".", 1)
-            out = out.withColumn(
-                parent, F.col(parent).withField(path, F.col(f"{tmp}.v"))
-            )
+            out = out.withColumn(parent, F.col(parent).withField(path, v))
         else:
-            out = out.withColumn(fname, F.col(f"{tmp}.v"))
-        out = out.withColumn(err, F.col(f"{tmp}.err")).drop(tmp)
+            out = out.withColumn(fname, v)
+        out = out.withColumn(err, e).drop(tmp)
         err_specs.append((err, fname, meta.name))
         return out
 
@@ -425,19 +431,39 @@ def apply_validators_df(cls, df):
         )
     out = compiled.with_validation(out)
 
+    # row-cleanliness gate for the 'after' stage (small-batch parity:
+    # Model.__init__ raises on any kernel or before/plain/wrap verdict
+    # BEFORE after-transforms or the after-model-validator run)
+    clean = F.size("violations") == 0
+    for ec, _, _ in err_specs:
+        clean = clean & F.col(ec).isNull()
+    out = out.withColumn("__clean", clean)
+    pre_n = len(err_specs)
+
     for meta in fvs:
         if meta.mode != "after":
             continue
         for fname in meta.fields:
             if fname in dtypes:
-                out = _apply_field(out, meta, fname)
+                out = _apply_field(out, meta, fname, gate=F.col("__clean"))
+
+    # after-mode model validators additionally require every 'after'
+    # field transform to have passed (small-batch raises after_errs
+    # before running them); before-mode model validators are
+    # unconditional on both paths
+    mv_gate = F.col("__clean")
+    for ec, _, _ in err_specs[pre_n:]:
+        mv_gate = mv_gate & F.col(ec).isNull()
 
     top_cols = [c for c in df.columns if c in dtypes or "." not in c]
     for meta in mvs:
         udf = _mv_pandas_udf(meta, top_cols, token)
         err = f"__mverr{idx}"
         idx += 1
-        out = out.withColumn(err, udf(F.struct(*[F.col(c) for c in top_cols])))
+        raw = udf(F.struct(*[F.col(c) for c in top_cols]))
+        out = out.withColumn(
+            err, raw if meta.mode == "before" else F.when(mv_gate, raw)
+        )
         err_specs.append((err, "<row>", meta.name))
 
     if err_specs:
@@ -460,7 +486,7 @@ def apply_validators_df(cls, df):
             .withColumn("valid", F.size("violations") == 0)
             .drop(*[e for e, _, _ in err_specs])
         )
-    return out
+    return out.drop("__clean")
 
 
 __all__ = [

@@ -564,3 +564,109 @@ def test_column_quantiles_exact_matches_numpy_fuzz(spark, vals, probs):
         assert abs(row[name] - want) <= 1e-6 * max(1.0, abs(want)), (
             p, row[name], want,
         )
+
+
+# --- decorator validators: two-path parity (r4) ------------------------------
+# Model(**d) (per-record Python execution of decorated validators)
+# and validate_df (Arrow pandas UDFs around the compiled kernels)
+# must agree on verdict NAMES per row and on the final value of
+# fully-valid rows — for every validator mode × transform ×
+# raise-predicate × field-constraint combination. This pins the
+# after-stage gating (validate_df suppresses after/model verdicts on
+# rows that already failed, exactly like Model.__init__ raising
+# before 'after' runs).
+
+_DV_TRANSFORMS = {
+    "strip": lambda v: v.strip(),
+    "upper": lambda v: v.upper(),
+    "prefix": lambda v: "p:" + v,
+    "ident": lambda v: v,
+}
+_DV_RAISERS = {
+    "never": lambda v: False,
+    "blank": lambda v: not v.strip(),
+    "has_z": lambda v: "z" in v,
+    "long": lambda v: len(v) > 6,
+}
+
+
+def _dv_model(f: FieldSpec, mode: str, tname: str, rname: str):
+    from typing import Optional as _Opt
+
+    from satya_spark import Field, Model, field_validator
+
+    tf, rf = _DV_TRANSFORMS[tname], _DV_RAISERS[rname]
+    kw = {
+        k: getattr(f, k)
+        for k in ("min_length", "max_length", "pattern", "email", "enum")
+        if getattr(f, k) not in (None, False)
+    }
+    if mode == "wrap":
+        def v_s(cls, v, handler, info):
+            if rf(v):
+                raise ValueError("fuzz says no")
+            return handler(tf(v))
+    else:
+        def v_s(cls, v, info):
+            if rf(v):
+                raise ValueError("fuzz says no")
+            return tf(v)
+    ns = {
+        "__annotations__": {"s": str if f.required else _Opt[str]},
+        "s": Field(**kw),
+        "v_s": field_validator("s", mode=mode)(v_s),
+    }
+    return type("DvFuzz", (Model,), ns)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    f=str_field,
+    mode=st.sampled_from(["before", "after", "plain", "wrap"]),
+    tname=st.sampled_from(sorted(_DV_TRANSFORMS)),
+    rname=st.sampled_from(sorted(_DV_RAISERS)),
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="abz 09@.", max_size=8),
+            st.sampled_from(["", "   ", "a@b.co", "red", "azz", "abcdefgh"]),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_decorator_two_path_parity(spark, f, mode, tname, rname, values):
+    from satya_spark.model import ModelValidationError
+
+    cls = _dv_model(f, mode, tname, rname)
+    cls.validator(spark)
+
+    small = []
+    for v in values:
+        try:
+            inst = cls(s=v)
+            small.append((True, inst.s, []))
+        except ModelValidationError as e:
+            small.append(
+                (False, None, sorted({err.constraint for err in e.errors}))
+            )
+
+    schema = T.StructType(
+        [T.StructField("i", T.LongType(), False), T.StructField("s", T.StringType(), True)]
+    )
+    df = spark.createDataFrame(list(enumerate(values)), schema)
+    rows = sorted(cls.validate_df(df).collect(), key=lambda r: r["i"])
+    big = [
+        (
+            bool(r["valid"]),
+            r["s"],
+            sorted({x["constraint_name"] for x in r["violations"]}),
+        )
+        for r in rows
+    ]
+    cfg = f"cfg=({mode},{tname},{rname}) spec={f}"
+    for v, (ok_s, val_s, errs_s), (ok_b, val_b, errs_b) in zip(values, small, big):
+        assert ok_s == ok_b, f"valid mismatch for {v!r}: {ok_s} vs {ok_b}; {cfg}"
+        assert errs_s == errs_b, f"verdicts for {v!r}: {errs_s} vs {errs_b}; {cfg}"
+        if ok_s:
+            assert val_s == val_b, f"value for {v!r}: {val_s!r} vs {val_b!r}; {cfg}"
