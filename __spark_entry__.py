@@ -460,6 +460,25 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (satya_spark/functions/pii.py):
+    per-category flags, distinct-category count, and redacted text —
+    one JVM-regex projection, planted-PII fixture (docfix.PII_CTE)."""
+    from satya_spark.docfix import pii_from_testdata
+    from satya_spark.functions.pii import with_pii
+
+    d = with_pii(pii_from_testdata(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "pii_email",
+        "pii_ssn",
+        "pii_phone",
+        "pii_ipv4",
+        F.col("pii_types").cast("long").alias("pii_types"),
+        "text_redacted",
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint of whitespace-normalized text."""
     from satya_spark.docfix import docs_from_testdata
@@ -981,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_stats": q_text_stats,
             "text_langid": q_text_langid,
             "text_fingerprint": q_text_fingerprint,
+            "text_pii": q_text_pii,
             "dedup_exact": q_dedup_exact,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
@@ -1494,6 +1514,19 @@ def _doc_oracles() -> dict[str, str]:
     )
     o["text_fingerprint"] = W + (
         f" SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs"
+    )
+    from satya_spark.docfix import pii_with_clause
+    from satya_spark.functions import pii as px
+
+    o["text_pii"] = pii_with_clause() + (
+        " SELECT doc_id, "
+        f"{px.pii_flag_sql('text', 'email')} AS pii_email, "
+        f"{px.pii_flag_sql('text', 'ssn')} AS pii_ssn, "
+        f"{px.pii_flag_sql('text', 'phone')} AS pii_phone, "
+        f"{px.pii_flag_sql('text', 'ipv4')} AS pii_ipv4, "
+        f"CAST({px.pii_count_types_sql('text')} AS BIGINT) AS pii_types, "
+        f"{px.redact_sql('text')} AS text_redacted "
+        "FROM pii_docs"
     )
     o["dedup_exact"] = W + (
         f", fps AS (SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs) "

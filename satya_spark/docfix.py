@@ -53,3 +53,37 @@ def emb_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     return spark.sql(emb_with_clause() + " SELECT * FROM embfix")
+
+
+PII_CTE = """
+pii_docs AS (
+  SELECT doc_id,
+    concat(text,
+      CASE WHEN doc_id % 7 = 0
+           THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com')
+           ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END,
+      CASE WHEN doc_id % 13 = 0
+           THEN ' call 555.123.4567 or 555-123-4567' ELSE '' END,
+      CASE WHEN doc_id % 17 = 0
+           THEN concat(' host 10.0.', CAST(doc_id % 256 AS STRING), '.1')
+           ELSE '' END) AS text
+  FROM documents
+)
+"""
+
+
+def pii_with_clause() -> str:
+    return "WITH " + PII_CTE
+
+
+def pii_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically planted PII (modulus sites per
+    category, coinciding on doc_id multiples of several moduli so
+    multi-category rows exist) — identical in Spark SQL and DuckDB;
+    the raw corpus contains no PII, so the gate would otherwise be
+    vacuous."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(pii_with_clause() + " SELECT * FROM pii_docs")

@@ -593,3 +593,95 @@ def test_resize_images_plumbing(spark):
     # plan: Arrow-batched python (MapInPandas), no blob past it
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+# --- PII detection/redaction (r4, training-data hygiene tier) ---------------
+
+def test_pii_flags_and_redaction(spark):
+    from satya_spark.functions import pii as px
+
+    rows = [
+        (1, "mail me: a.b+x@ex-1.co now"),
+        (2, "ssn 123-45-6789."),
+        (3, "call 555.123.4567"),
+        (4, "ip 10.0.0.1 ok"),
+        (5, "digits 1234-56-7890"),     # too many digits: no match
+        (6, "8555-123-4567x"),          # no word boundary: no match
+        (7, "v1.2.3.4a"),               # embedded in a word: no match
+        (8, "a@b.co and 10.0.0.1"),     # two categories
+        (9, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in px.with_pii(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["pii_email"] and out[1]["text_redacted"] == "mail me: <EMAIL> now"
+    assert out[2]["pii_ssn"] and out[2]["text_redacted"] == "ssn <SSN>."
+    assert out[3]["pii_phone"] and not out[3]["pii_ipv4"]
+    assert out[3]["text_redacted"] == "call <PHONE>"
+    assert out[4]["pii_ipv4"] and out[4]["text_redacted"] == "ip <IPV4> ok"
+    for i in (5, 6, 7):
+        assert out[i]["pii_types"] == 0 and out[i]["text_redacted"] == rows[i - 1][1]
+    assert out[8]["pii_types"] == 2
+    assert out[8]["text_redacted"] == "<EMAIL> and <IPV4>"
+    assert out[9]["text_redacted"] is None and out[9]["pii_types"] is None
+
+
+def test_pii_plan_is_pure_codegen(spark):
+    """PII kernels must stay JVM-side: no Python eval, every Project
+    codegen'd — this is a full-corpus scrub at 100 TB."""
+    from satya_spark.functions import pii as px
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co"), (2, "nothing")], "doc_id long, text string"
+    )
+    out = px.with_pii(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "Project [" in line:
+            assert "*(" in line, f"interpreted Project:\n{line}"
+
+
+def test_pii_duckdb_twin_parity(spark):
+    """The SQL twins run the SAME regexes: differential check on a
+    corpus covering every category, multi-category rows, and every
+    no-match trap."""
+    import duckdb
+
+    from satya_spark.functions import pii as px
+
+    texts = [
+        "mail me: a.b+x@ex-1.co now", "ssn 123-45-6789.",
+        "call 555.123.4567 or 555-123-4567", "ip 10.0.0.1 ok",
+        "digits 1234-56-7890", "8555-123-4567x", "v1.2.3.4a",
+        "a@b.co and 10.0.0.1 and 123-45-6789", "plain text", "",
+    ]
+    sdf = px.with_pii(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+    ).orderBy("doc_id")
+    got = [
+        (r["pii_email"], r["pii_ssn"], r["pii_phone"], r["pii_ipv4"],
+         r["pii_types"], r["text_redacted"])
+        for r in sdf.collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS v(doc_id, text)"
+    )
+    want = con.execute(
+        f"SELECT {px.pii_flag_sql('text', 'email')}, "
+        f"{px.pii_flag_sql('text', 'ssn')}, "
+        f"{px.pii_flag_sql('text', 'phone')}, "
+        f"{px.pii_flag_sql('text', 'ipv4')}, "
+        f"{px.pii_count_types_sql('text')}, "
+        f"{px.redact_sql('text')} FROM t ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
