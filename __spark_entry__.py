@@ -460,6 +460,16 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: type-token ratio per row
+    (one codegen projection) + top-bigram share computed distributed
+    (explode → map-side-combining groupBy → per-doc max/sum)."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions import text as tx
+
+    return tx.with_repetition(docs_from_testdata(spark, sf_dir))
+
+
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (satya_spark/functions/pii.py):
     per-category flags, distinct-category count, and redacted text —
@@ -1000,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_stats": q_text_stats,
             "text_langid": q_text_langid,
             "text_fingerprint": q_text_fingerprint,
+            "text_repetition": q_text_repetition,
             "text_pii": q_text_pii,
             "dedup_exact": q_dedup_exact,
             "dedup_jaccard": q_dedup_jaccard,
@@ -1515,6 +1526,7 @@ def _doc_oracles() -> dict[str, str]:
     o["text_fingerprint"] = W + (
         f" SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs"
     )
+    o["text_repetition"] = W + tx.repetition_sql("docs", standalone=False)
     from satya_spark.docfix import pii_with_clause
     from satya_spark.functions import pii as px
 

@@ -224,3 +224,103 @@ def fingerprint(col: Column) -> Column:
 
 def fingerprint_sql(name: str) -> str:
     return f"md5({norm_text_sql(name)})"
+
+
+# --- repetition signals (Gopher-style quality rules) ------------------------
+
+def with_repetition(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals for training-data filtering
+    (the Gopher/MassiveText repetition rules re-expressed Spark-first):
+
+    * ``n_tokens`` / ``n_distinct`` / ``ttr`` — type-token ratio
+      (low TTR = heavy word repetition), computed per row in one
+      codegen projection (``array_distinct`` is a regular expression,
+      not a lambda HOF);
+    * ``top_bigram_count`` / ``top_bigram_frac`` — the most frequent
+      bigram's share of all bigrams, computed DISTRIBUTED: bigrams via
+      ``arrays_zip`` of two shifted slices (no lambda HOF, stays in
+      codegen) → explode → map-side-combining groupBy(doc, bigram) →
+      per-doc max/sum → broadcast-friendly join back. Linear in corpus
+      size; never the per-row O(tokens²) array-scan shape that a
+      pure-expression version would force.
+
+    Ties on the top bigram resolve identically everywhere because only
+    the COUNT is reported, never an arbitrary winning bigram.
+    """
+    t = tokens_ws(F.col(text_col))
+    per = df.select(F.col(id_col), t.alias("__t")).select(
+        id_col,
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_distinct"),
+        "__t",
+    )
+    # greatest(...,0): slice length must be non-negative under ANSI
+    # even for empty/1-token docs
+    pairs = F.arrays_zip(
+        F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))"),
+        F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))"),
+    )
+    bg = per.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.concat_ws(" ", F.col("p")["0"], F.col("p")["1"]).alias("g")
+    )
+    top = (
+        bg.groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.max("count").alias("top_bigram_count"),
+            F.sum("count").alias("n_bigrams"),
+        )
+    )
+    n = F.col("n_tokens")
+    return per.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.when(n > 0, F.round(F.col("n_distinct").cast("double") / n, 6)).alias(
+            "ttr"
+        ),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0))
+        .cast("long")
+        .alias("top_bigram_count"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+            ),
+        ).alias("top_bigram_frac"),
+    )
+
+
+def repetition_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    standalone: bool = True,
+) -> str:
+    """DuckDB twin of :func:`with_repetition` (1-indexed lists).
+    ``standalone=False`` emits a leading ``,`` so the CTEs chain onto
+    an existing WITH clause (e.g. the docs fixture's)."""
+    norm = norm_text_sql(text_col)
+    return (
+        ("WITH " if standalone else ", ")
+        + f"__toks AS (SELECT {id_col}, "
+        f"CASE WHEN length({norm}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split({norm}, ' ') END AS t FROM {table}), "
+        "__bg AS (SELECT "
+        f"{id_col}, unnest(list_transform(range(1, len(t)),"
+        " i -> t[i] || ' ' || t[i+1])) AS g FROM __toks WHERE len(t) >= 2), "
+        f"__cnt AS (SELECT {id_col}, g, count(*) AS c FROM __bg GROUP BY 1, 2), "
+        f"__top AS (SELECT {id_col}, max(c) AS top_c, sum(c) AS n_bg"
+        " FROM __cnt GROUP BY 1) "
+        f"SELECT k.{id_col}, CAST(len(k.t) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(k.t)) AS BIGINT) AS n_distinct, "
+        "CASE WHEN len(k.t) > 0 THEN"
+        " round(CAST(len(list_distinct(k.t)) AS DOUBLE) / len(k.t), 6)"
+        " END AS ttr, "
+        "CAST(coalesce(p.top_c, 0) AS BIGINT) AS top_bigram_count, "
+        "CASE WHEN p.n_bg > 0 THEN"
+        " round(CAST(p.top_c AS DOUBLE) / p.n_bg, 6) END AS top_bigram_frac "
+        f"FROM __toks k LEFT JOIN __top p USING ({id_col})"
+    )

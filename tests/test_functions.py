@@ -685,3 +685,59 @@ def test_pii_duckdb_twin_parity(spark):
         f"{px.redact_sql('text')} FROM t ORDER BY doc_id"
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: [a b, b a]x -> top 'a b' = 3/5
+            (2, "x y z w"),            # all bigrams unique -> top 1/3
+            (3, "hello"),              # 1 token: no bigrams
+            (4, ""),                   # empty: no tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.with_repetition(df).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["n_distinct"] == 2
+    assert out[1]["ttr"] == round(2 / 6, 6)
+    assert out[1]["top_bigram_count"] == 3  # 'a b' at positions 1,3,5
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[2]["top_bigram_count"] == 1
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[3]["top_bigram_count"] == 0 and out[3]["top_bigram_frac"] is None
+    assert out[4]["n_tokens"] == 0 and out[4]["ttr"] is None
+
+
+def test_repetition_duckdb_twin_parity(spark):
+    import duckdb
+
+    texts = [
+        "a b a b a b", "x y z w", "hello", "",
+        "the the the the", "a  b\t c", "one two one two one",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(map(tuple, tx.with_repetition(df).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS v(doc_id, text)"
+    )
+    want = sorted(map(tuple, con.execute(tx.repetition_sql("t")).fetchall()))
+    assert got == want
+
+
+def test_repetition_plan_shape(spark):
+    """The per-row projection (TTR) must be codegen'd (array_distinct
+    is not a lambda HOF) and the bigram aggregation must partial-
+    aggregate before the exchange (map-side combine — the shape that
+    survives 100 TB)."""
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    out = tx.with_repetition(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "lambdafunction" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
