@@ -10,13 +10,50 @@ per-partition manifest. See SURVEY.md for the full design mapping.
 from .spec import FieldSpec, TableSpec, transcript_spec
 from .compiler import compile_spec, CompiledSpec, CompiledRule
 from .validators import ValidationInfo, field_validator, model_validator
-from .model import Field, Model, ModelValidationError
+from .model import (
+    DirectoryPath,
+    EmailStr,
+    Field,
+    FilePath,
+    HttpUrl,
+    Model,
+    ModelValidationError,
+    NegativeFloat,
+    NegativeInt,
+    NewPath,
+    NonNegativeFloat,
+    NonNegativeInt,
+    PositiveFloat,
+    PositiveInt,
+    SecretBytes,
+    SecretStr,
+)
 from .engine import ValidationEngine, TableValidationError
+from .compat import ValidationError, ValidationResult, StreamValidator
+from .serializers import computed_field, field_serializer, model_serializer
+from .scalars import (
+    ArrayValidator,
+    BooleanValidator,
+    IntValidator,
+    NumberValidator,
+    StringValidator,
+)
+from .absent import ABSENT, filter_absent, is_absent
+from .spec_json import JSONSchemaCompiler, compile_json_schema, load_json
+
+# Pydantic-compat alias, like the reference's `BaseModel = Model`
+# (src/satya/__init__.py exports both names)
+BaseModel = Model
 
 __all__ = [
+    # core classes (reference src/satya/__init__.py:1361-1368)
     "Field",
     "Model",
+    "BaseModel",
     "ModelValidationError",
+    "ValidationError",
+    "ValidationResult",
+    "StreamValidator",
     "ValidationEngine",
     "TableValidationError",
     "FieldSpec",
@@ -25,9 +62,42 @@ __all__ = [
     "compile_spec",
     "CompiledSpec",
     "CompiledRule",
+    # validation decorators
     "ValidationInfo",
     "field_validator",
     "model_validator",
+    # serialization decorators
+    "field_serializer",
+    "model_serializer",
+    "computed_field",
+    # scalar/array validators
+    "StringValidator",
+    "IntValidator",
+    "NumberValidator",
+    "BooleanValidator",
+    "ArrayValidator",
+    # ABSENT sentinel
+    "ABSENT",
+    "is_absent",
+    "filter_absent",
+    # JSON Schema compiler + JSON loader
+    "compile_json_schema",
+    "JSONSchemaCompiler",
+    "load_json",
+    # special types
+    "EmailStr",
+    "HttpUrl",
+    "SecretStr",
+    "SecretBytes",
+    "FilePath",
+    "DirectoryPath",
+    "NewPath",
+    "PositiveInt",
+    "NegativeInt",
+    "NonNegativeInt",
+    "PositiveFloat",
+    "NegativeFloat",
+    "NonNegativeFloat",
 ]
 
 __version__ = "0.1.0"

@@ -75,6 +75,27 @@ class NonNegativeFloat(float):
     """Annotation marker: float >= 0 (special_types.py:229-238)."""
 
 
+class SecretBytes(bytes):
+    """Annotation marker: masked-in-errors bytes
+    (special_types.py:33-47); columnar dtype is string like bytes."""
+
+
+class FilePath(str):
+    """Annotation marker (special_types.py:49-78): path SHAPE check —
+    filesystem existence is an executor-side I/O effect with no
+    columnar analog (COVERAGE.md §special types)."""
+
+
+class DirectoryPath(str):
+    """Annotation marker (special_types.py:80-108): path shape, see
+    FilePath."""
+
+
+class NewPath(str):
+    """Annotation marker (special_types.py:110-137): path shape, see
+    FilePath."""
+
+
 # marker class -> special_types.PRESETS key (single source of truth)
 from .special_types import PRESETS as _PRESET_TABLE  # noqa: E402
 
@@ -85,6 +106,11 @@ _MARKERS: Dict[type, tuple] = {
         NonNegativeInt, PositiveFloat, NegativeFloat, NonNegativeFloat,
     )
 }
+# reference special types whose preset is shared (path shape /
+# secret masking)
+_MARKERS[SecretBytes] = _PRESET_TABLE["secretstr"]
+for _pcls in (FilePath, DirectoryPath, NewPath):
+    _MARKERS[_pcls] = _PRESET_TABLE["pathstr"]
 
 _SCALARS: Dict[type, str] = {
     str: "string",
@@ -154,6 +180,23 @@ def _flatten_model(mcls: type) -> tuple:
     return tuple(out)
 
 
+def _is_absent_ann(a: Any) -> bool:
+    """True for the ABSENT marker arm of a union annotation —
+    ``type[ABSENT]`` (the reference's documented spelling,
+    src/satya/absent.py:22-32), ``type[_AbsentType]``, or the class
+    itself."""
+    from .absent import _AbsentType
+
+    if a is _AbsentType:
+        return True
+    if get_origin(a) is type:
+        args = get_args(a)
+        return bool(args) and (
+            args[0] is _AbsentType or isinstance(args[0], _AbsentType)
+        )
+    return False
+
+
 def _resolve(annotation: Any) -> tuple:
     """annotation → (dtype, extra_kwargs, required_default, nested)
     where nested is None or (kind, ModelSubclass) with kind in
@@ -168,11 +211,17 @@ def _resolve(annotation: Any) -> tuple:
     # loudly, not silently validate as Optional[first-arm]
     if origin is Union or isinstance(annotation, _types.UnionType):
         all_args = get_args(annotation)
-        args = [a for a in all_args if a is not type(None)]
-        if type(None) not in all_args or len(args) != 1:
+        args = [
+            a
+            for a in all_args
+            if a is not type(None) and not _is_absent_ann(a)
+        ]
+        has_opt = len(args) != len(all_args)  # None or ABSENT marker seen
+        if not has_opt or len(args) != 1:
             raise TypeError(
                 f"unsupported Model annotation: {annotation!r} "
-                "(only Optional[T] / T | None unions are columnar)"
+                "(only Optional[T] / T | None / T | type[ABSENT] unions"
+                " are columnar)"
             )
         dtype, extra, _, nested = _resolve(args[0])
         return dtype, extra, False, nested
@@ -297,6 +346,16 @@ class ModelMeta(type):
         from .validators import collect_validators
 
         cls.__field_validators__, cls.__model_validators__ = collect_validators(cls)
+        # serializer registrations (@field_serializer /
+        # @model_serializer / @computed_field, reference
+        # src/satya/serializers.py) — consumed by model_dump
+        from .serializers import collect_serializers
+
+        (
+            cls.__field_serializers_map__,
+            cls.__model_serializer_def__,
+            cls.__computed_fields__,
+        ) = collect_serializers(cls)
         return cls
 
 
@@ -411,6 +470,12 @@ class Model(metaclass=ModelMeta):
 
         cls = type(self)
         config = getattr(cls, "model_config", {}) or {}
+        # ABSENT-valued inputs are equivalent to the key being missing
+        # (reference src/satya/absent.py; facade-only — the columnar
+        # engine's null ≡ absent adjudication stands at scale)
+        from .absent import filter_absent as _fa
+
+        data = _fa(data)
         fvs = getattr(cls, "__field_validators__", [])
         mvs = getattr(cls, "__model_validators__", [])
         # @model_validator(mode='before'): raw-dict rewrite ahead of
@@ -622,7 +687,15 @@ class Model(metaclass=ModelMeta):
             elif n in data:
                 d[n] = data[n]
             else:
-                d[n] = _default_value(f)
+                dv = _default_value(f)
+                from .absent import is_absent as _ia
+
+                if _ia(dv):
+                    # default=ABSENT: the field stays OUT of _data —
+                    # attribute access raises, dumps skip it ("missing
+                    # keys stay absent", reference absent.py:34-39)
+                    continue
+                d[n] = dv
         fields_set = set(data) & set(cls.__fields__)
         if config.get("extra", "ignore") == "allow":
             for k in extras:
@@ -1071,6 +1144,9 @@ class Model(metaclass=ModelMeta):
         exclude_none: bool = False,
         exclude_unset: bool = False,
         exclude_defaults: bool = False,
+        mode: str = "python",  # 'python' | 'json' (Pydantic v2 parity;
+        # gates when_used='json' field serializers)
+        _skip_model_serializer: bool = False,
     ) -> Dict[str, Any]:
         def _dump(v):
             if isinstance(v, Model):
@@ -1081,6 +1157,24 @@ class Model(metaclass=ModelMeta):
                 return {k: _dump(x) for k, x in v.items()}
             return v
 
+        cls = type(self)
+        # @model_serializer replaces the whole dump (reference
+        # serializers.py:38-55; consumed here, unlike the reference)
+        mser = getattr(cls, "__model_serializer_def__", None)
+        if mser is not None and not _skip_model_serializer:
+            func, smode = mser
+
+            def _standard():
+                return self.model_dump(
+                    include=include, exclude=exclude, by_alias=by_alias,
+                    exclude_none=exclude_none, exclude_unset=exclude_unset,
+                    exclude_defaults=exclude_defaults, mode=mode,
+                    _skip_model_serializer=True,
+                )
+
+            return func(self, _standard) if smode == "wrap" else func(self)
+
+        fsers = getattr(cls, "__field_serializers_map__", {})
         out = {}
         fields = type(self).__fields__
         # iterate stored data (declared fields first, then any
@@ -1094,6 +1188,8 @@ class Model(metaclass=ModelMeta):
                 continue
             if exclude and n in exclude:
                 continue
+            if n not in self._data:
+                continue  # ABSENT field: missing keys stay absent
             v = self._data.get(n)
             if exclude_none and v is None:
                 continue
@@ -1113,10 +1209,40 @@ class Model(metaclass=ModelMeta):
                 f._spec.alias if (f is not None and by_alias and f._spec.alias)
                 else n
             )
+            ser = fsers.get(n)
+            if ser is not None:
+                func, smode, when, nargs = ser
+                skip = (when == "unless-none" and v is None) or (
+                    when == "json" and mode != "json"
+                )
+                if not skip:
+                    if smode == "wrap":
+                        out[key] = (
+                            func(self, v, _dump)
+                            if nargs >= 3
+                            else func(self, v)
+                        )
+                    else:
+                        out[key] = func(self, v)
+                    continue
             out[key] = _dump(v)
+        # @computed_field entries join the dump under name/alias
+        # (reference serializers.py:57-77; include/exclude/none
+        # filters apply like declared fields)
+        for cname, fget, alias in getattr(cls, "__computed_fields__", ()):
+            if include is not None and cname not in include:
+                continue
+            if exclude and cname in exclude:
+                continue
+            cv = fget(self)
+            if exclude_none and cv is None:
+                continue
+            out[alias if (by_alias and alias) else cname] = _dump(cv)
         return out
 
     def model_dump_json(self, **kw: Any) -> str:
+        kw.setdefault("mode", "json")  # fires when_used='json' serializers
+
         def _default(o):
             if isinstance(o, (_dt.datetime, _dt.date)):
                 return o.isoformat()

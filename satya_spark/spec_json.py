@@ -275,3 +275,171 @@ def to_json_schema(spec: TableSpec) -> Dict[str, Any]:
     if spec.extra == "forbid":
         out["additionalProperties"] = False
     return out
+
+
+# --- JSON Schema -> validator compiler (reference -------------------------
+# src/satya/json_schema_compiler.py): scalar/array schemas compile to
+# the standalone scalar validators (pykernels single-value path +
+# compiled-kernel scale path); object schemas compile through
+# from_json_schema to a TableSpec-backed validator. JVM-free until a
+# DataFrame is involved.
+
+class ObjectSchemaValidator:
+    """Validator for ``type: object`` schemas: dict validation via the
+    fuzz-pinned pure-Python kernel twins (dotted paths navigated),
+    scale via the compiled Catalyst kernels."""
+
+    def __init__(self, spec: TableSpec):
+        self.spec = spec
+
+    def validate(self, data: Any):
+        from .compat import ValidationError, ValidationResult
+        from .pykernels import value_violations
+
+        if not isinstance(data, dict):
+            return ValidationResult(
+                value=None,
+                errors=[
+                    ValidationError(
+                        "<object>",
+                        f"Expected object, got {type(data).__name__}",
+                        constraint="type",
+                    )
+                ],
+            )
+        errors = []
+        for f in self.spec.fields:
+            cur: Any = data
+            missing = False
+            for part in f.name.split("."):
+                if not isinstance(cur, dict) or part not in cur:
+                    missing = True
+                    break
+                cur = cur[part]
+            if missing or cur is None:
+                if f.required:
+                    errors.append(
+                        ValidationError(
+                            f.name, "required field missing",
+                            constraint="required",
+                        )
+                    )
+                continue
+            errors.extend(
+                ValidationError(
+                    f.name, f"{c} violated", value=cur, constraint=c
+                )
+                for c in value_violations(f, cur)
+            )
+        if self.spec.extra == "forbid":
+            tops = {f.name.split(".")[0] for f in self.spec.fields}
+            errors.extend(
+                ValidationError(
+                    k, "extra fields not permitted", constraint="extra_field"
+                )
+                for k in data
+                if k not in tops
+            )
+        from .compat import ValidationResult as VR
+
+        return VR(value=data if not errors else None, errors=errors)
+
+    def validate_batch(self, items):
+        return [self.validate(it) for it in items]
+
+    def with_validation(self, df):
+        from .compiler import compile_spec
+
+        return compile_spec(self.spec).with_validation(df)
+
+
+class JSONSchemaCompiler:
+    """reference json_schema_compiler.py:13-50 — compiles a JSON
+    Schema document into the matching validator."""
+
+    def __init__(self) -> None:
+        # shape-compatible stats attribute; our "optimized" tier is
+        # the compiled-kernel/pykernel path (there is no Rust here)
+        self.optimization_stats = {"kernel_compiled": 0, "python_fallback": 0}
+
+    def compile(self, schema: Dict[str, Any]):
+        from .scalars import (
+            ArrayValidator,
+            BooleanValidator,
+            IntValidator,
+            NumberValidator,
+            StringValidator,
+        )
+
+        if not isinstance(schema, dict):
+            raise ValueError(f"schema must be a dict, got {type(schema).__name__}")
+        stype = schema.get("type")
+        self.optimization_stats["kernel_compiled"] += 1
+        if stype == "string":
+            fmt = schema.get("format")
+            return StringValidator(
+                min_length=schema.get("minLength"),
+                max_length=schema.get("maxLength"),
+                pattern=schema.get("pattern"),
+                email=fmt == "email",
+                url=fmt in ("uri", "url"),
+                enum=schema.get("enum"),
+            )
+        if stype == "integer":
+            return IntValidator(
+                ge=schema.get("minimum"),
+                le=schema.get("maximum"),
+                gt=schema.get("exclusiveMinimum"),
+                lt=schema.get("exclusiveMaximum"),
+                multiple_of=schema.get("multipleOf"),
+                enum=schema.get("enum"),
+            )
+        if stype == "number":
+            return NumberValidator(
+                ge=schema.get("minimum"),
+                le=schema.get("maximum"),
+                gt=schema.get("exclusiveMinimum"),
+                lt=schema.get("exclusiveMaximum"),
+                multiple_of=schema.get("multipleOf"),
+            )
+        if stype == "boolean":
+            return BooleanValidator()
+        if stype == "array":
+            items = schema.get("items") or {}
+            return ArrayValidator(
+                items.get("type", "string"),
+                min_items=schema.get("minItems"),
+                max_items=schema.get("maxItems"),
+                unique_items=schema.get("uniqueItems", False),
+            )
+        if stype == "object":
+            return ObjectSchemaValidator(from_json_schema(schema))
+        self.optimization_stats["kernel_compiled"] -= 1
+        self.optimization_stats["python_fallback"] += 1
+        raise ValueError(f"unsupported JSON Schema type: {stype!r}")
+
+
+def compile_json_schema(schema: Dict[str, Any]):
+    """reference json_schema_compiler.py module-level entry."""
+    return JSONSchemaCompiler().compile(schema)
+
+
+def load_json(json_str):
+    """reference json_loader.py:17-44 — fastest available JSON parse
+    (orjson when importable, stdlib otherwise), ValueError on bad
+    input."""
+    try:
+        import orjson  # noqa: F401 — optional, absent in this sandbox
+    except ImportError:
+        orjson = None
+    if orjson is not None:
+        try:
+            return orjson.loads(json_str)
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(f"Failed to parse JSON: {e}") from e
+    import json as _json
+
+    try:
+        return _json.loads(json_str)
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"Failed to parse JSON: {e}") from e
