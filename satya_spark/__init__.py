@@ -40,6 +40,7 @@ from .scalars import (
 )
 from .absent import ABSENT, filter_absent, is_absent
 from .spec_json import JSONSchemaCompiler, compile_json_schema, load_json
+from . import profiling  # reference exports the module (profiling tools)
 
 # Pydantic-compat alias, like the reference's `BaseModel = Model`
 # (src/satya/__init__.py exports both names)
@@ -84,6 +85,8 @@ __all__ = [
     "compile_json_schema",
     "JSONSchemaCompiler",
     "load_json",
+    # profiling tools (FieldStats/ValidationStats/ValidationProfiler)
+    "profiling",
     # special types
     "EmailStr",
     "HttpUrl",

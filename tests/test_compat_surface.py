@@ -250,3 +250,66 @@ def test_basemodel_alias():
             "SecretBytes", "FilePath", "DirectoryPath", "NewPath",
         )
     ) <= set(s.__all__)
+
+
+# --- profiling (reference src/satya/profiling.py) ----------------------------
+
+def test_validation_profiler_track(spark):
+    from satya_spark.profiling import ValidationProfiler
+
+    class P(Model):
+        name: str
+        age: int = Field(ge=0)
+
+    P.validator(spark)
+    prof = ValidationProfiler()
+    prof.track(P)
+    P.model_validate({"name": "a", "age": 1})
+    with pytest.raises(Exception):
+        P.model_validate({"name": "a", "age": -1})
+    st = prof.get_stats()
+    assert st.total_validations == 2
+    assert st.successful_validations == 1 and st.failed_validations == 1
+    assert st.avg_time_us > 0 and st.median_time_us > 0
+    assert "Total Validations: 2" in prof.report()
+    d = st.to_dict()
+    assert d["success_rate"] == 50.0
+    prof.reset()
+    assert prof.get_stats().total_validations == 0
+
+
+def test_validation_profiler_profile_df(spark):
+    from satya_spark.profiling import ValidationProfiler
+
+    class Q(Model):
+        name: str = Field(min_length=2)
+        age: int = Field(ge=0)
+
+    df = spark.createDataFrame(
+        [("ok", 1), ("x", -1)], "name string, age long"
+    )
+    prof = ValidationProfiler()
+    st = prof.profile_df(df, Q)
+    assert set(st.field_stats) == {"name", "age"}
+    assert st.field_stats["name"].errors == 1
+    assert st.field_stats["age"].errors == 1
+    assert st.field_stats["name"].validation_count == 2
+    assert st.slowest_field in ("name", "age")
+
+
+def test_profile_field_wrapper():
+    from satya_spark.profiling import ValidationProfiler
+
+    prof = ValidationProfiler()
+
+    def check(v):
+        if v < 0:
+            raise ValueError("neg")
+        return v
+
+    wrapped = prof.profile_field("n", check)
+    assert wrapped(3) == 3
+    with pytest.raises(ValueError):
+        wrapped(-1)
+    st = prof.get_stats().field_stats["n"]
+    assert st.validation_count == 2 and st.errors == 1
