@@ -512,10 +512,12 @@ class Model(metaclass=ModelMeta):
                         plain_fields.add(fname)
                     parts = fname.split(".")
                     if len(parts) > 1 and parts[0] not in copied and isinstance(
-                        data.get(parts[0]), dict
+                        data.get(parts[0]), (dict, Model)
                     ):
                         # copy-on-write: a dotted transform must never
-                        # mutate the caller's nested input dict
+                        # mutate the caller's nested input — neither a
+                        # dict nor an already-constructed Model
+                        # instance (whose _data _path_set writes into)
                         data[parts[0]] = copy.deepcopy(data[parts[0]])
                         copied.add(parts[0])
                     cur = _path_get(data, parts)
@@ -613,8 +615,12 @@ class Model(metaclass=ModelMeta):
             # plain/wrap on a DOTTED path under this field: thread the
             # re-rooted paths into the nested constructor so the inner
             # class drops exactly those leaf kernels
+            # ALWAYS set (even to empty) — otherwise the suppression
+            # set a parent installed for THIS constructor would leak
+            # into sibling nested fields' constructors and silently
+            # disable their kernels
             _sub = _sub_suppressed(plain_fields, fname)
-            _tok = _SUPPRESSED_RULES.set(_sub) if _sub else None
+            _tok = _SUPPRESSED_RULES.set(_sub)
             try:
                 if kind == "model":
                     hydrated[fname] = self._hydrate_one(fname, mcls, v, errs)
@@ -666,8 +672,7 @@ class Model(metaclass=ModelMeta):
                         for k, el in v.items()
                     }
             finally:
-                if _tok is not None:
-                    _SUPPRESSED_RULES.reset(_tok)
+                _SUPPRESSED_RULES.reset(_tok)
         # apply the replacement filter to EVERYTHING standard —
         # compiled scalar kernels, extra-field policy, and nested
         # hydration errors alike; the decorated validators' own
@@ -1150,7 +1155,13 @@ class Model(metaclass=ModelMeta):
     ) -> Dict[str, Any]:
         def _dump(v):
             if isinstance(v, Model):
-                return v.model_dump()
+                # propagate the recursive flags (Pydantic semantics) —
+                # notably mode, so nested when_used='json' serializers
+                # fire under model_dump_json; include/exclude are
+                # top-level name sets and do NOT recurse
+                return v.model_dump(
+                    by_alias=by_alias, exclude_none=exclude_none, mode=mode
+                )
             if isinstance(v, (list, tuple)):
                 return [_dump(x) for x in v]
             if isinstance(v, dict):

@@ -120,14 +120,17 @@ class ValidationProfiler:
         if not self.enabled:
             return model_cls
         self._tracked_models[model_cls.__name__] = model_cls
-        original = model_cls.model_validate
+        # the UNBOUND function, so the wrapper dispatches on the class
+        # it's invoked through — a subclass inheriting the wrapper must
+        # construct the subclass, not the tracked parent
+        original = model_cls.model_validate.__func__
         profiler = self
 
         def profiled(cls, data):
             start = time.perf_counter()
             success = False
             try:
-                result = original(data)
+                result = original(cls, data)
                 success = True
                 return result
             finally:

@@ -77,33 +77,16 @@ class _ScalarValidator:
     # --- scale path -----------------------------------------------------
     def with_validation(self, df, column: str):
         """The same constraint set compiled to Catalyst kernels over
-        ``df[column]`` — adds ``valid`` + ``violations`` columns."""
-        from pyspark.sql import functions as F
+        ``df[column]`` — adds ``valid`` + ``violations`` columns. The
+        FieldSpec is RENAMED, never re-filtered (a re-filter once
+        dropped ge=0/gt=0.0 via the 0 == False trap)."""
+        import dataclasses as _dc
 
         from .compiler import compile_spec
-        from .spec import FieldSpec as FS
 
         spec = TableSpec(
-            name="scalar",
-            fields=(
-                FS(
-                    column,
-                    self._spec.dtype,
-                    required=self._spec.required,
-                    **{
-                        k: getattr(self._spec, k)
-                        for k in (
-                            "min_length", "max_length", "pattern", "email",
-                            "url", "enum", "ge", "le", "gt", "lt",
-                            "multiple_of", "min_items", "max_items",
-                            "unique_items", "item_dtype",
-                        )
-                        if getattr(self._spec, k, None) not in (None, False)
-                    },
-                ),
-            ),
+            name="scalar", fields=(_dc.replace(self._spec, name=column),)
         )
-        _ = F  # imported for callers composing on the result
         return compile_spec(spec).with_validation(df)
 
 
@@ -225,6 +208,11 @@ class ArrayValidator(_ScalarValidator):
             self.item_type_str = type_map.get(item_type, "string")
         else:
             self.item_type_str = item_type or "string"
+        if self.item_type_str not in _ITEM_TYPES:
+            raise ValueError(
+                f"unsupported array item type: {self.item_type_str!r}"
+                f" (supported: {sorted(_ITEM_TYPES)})"
+            )
         dtype, self._py_item = _ITEM_TYPES[self.item_type_str]
         self._dtype = f"array<{dtype}>"
         self._init_spec(

@@ -26,21 +26,9 @@ Shapes (all Pydantic-compatible, reference serializers.py:14-77):
 
 from __future__ import annotations
 
-import inspect
 from typing import Any, Callable, Optional
 
-
-def _arity(func: Callable) -> int:
-    try:
-        return len(
-            [
-                p
-                for p in inspect.signature(func).parameters.values()
-                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-            ]
-        )
-    except (TypeError, ValueError):  # pragma: no cover
-        return 2
+from .validators import _positional_arity as _arity
 
 
 def field_serializer(
@@ -110,14 +98,13 @@ def computed_field(
 
 def collect_serializers(cls) -> tuple:
     """Walk the MRO (bases first) collecting serializer registrations,
-    keyed by attribute name so subclass overrides replace (same rule
-    as collect_validators). Returns
+    keyed by ATTRIBUTE name so a subclass redefinition replaces the
+    base one and an undecorated shadow deactivates it — the same rule
+    as collect_validators. Returns
     (field_serializers: {field -> (func, mode, when_used, arity)},
      model_serializer: (func, mode) | None,
      computed: [(name, fget, alias)])."""
-    fser: dict = {}
-    mser = None
-    computed: dict = {}
+    by_name: dict = {}  # attr_name -> ('field'|'model'|'computed', inner)
     for klass in reversed(cls.__mro__):
         for attr_name, attr in vars(klass).items():
             inner = (
@@ -130,24 +117,35 @@ def collect_serializers(cls) -> tuple:
             if inner is None:
                 continue
             if getattr(inner, "__field_serializer__", False):
-                for fname in inner.__serializer_fields__:
-                    fser[fname] = (
-                        inner,
-                        inner.__serializer_mode__,
-                        inner.__serializer_when__,
-                        _arity(inner),
-                    )
+                by_name[attr_name] = ("field", inner)
             elif getattr(inner, "__model_serializer__", False):
-                mser = (inner, inner.__serializer_mode__)
+                by_name[attr_name] = ("model", inner)
             elif getattr(inner, "__computed_field__", False) and isinstance(
                 attr, property
             ):
-                computed[attr_name] = (
-                    attr_name,
+                by_name[attr_name] = ("computed", inner)
+            else:
+                # undecorated shadow deactivates a base registration
+                by_name.pop(attr_name, None)
+    fser: dict = {}
+    mser = None
+    computed: list = []
+    for attr_name, (kind, inner) in by_name.items():
+        if kind == "field":
+            for fname in inner.__serializer_fields__:
+                fser[fname] = (
                     inner,
-                    getattr(inner, "__field_alias__", None),
+                    inner.__serializer_mode__,
+                    inner.__serializer_when__,
+                    _arity(inner),
                 )
-    return fser, mser, list(computed.values())
+        elif kind == "model":
+            mser = (inner, inner.__serializer_mode__)
+        else:
+            computed.append(
+                (attr_name, inner, getattr(inner, "__field_alias__", None))
+            )
+    return fser, mser, computed
 
 
 __all__ = [

@@ -193,8 +193,19 @@ def collect_validators(cls) -> tuple:
                     fv_by_name.pop(attr_name)
                 if attr_name in mv_by_name:
                     mv_by_name.pop(attr_name)
-    fvs: List[FieldValidatorMeta] = list(fv_by_name.values())
-    mvs: List[ModelValidatorMeta] = list(mv_by_name.values())
+    # name-keyed for override semantics, identity-deduped so an ALIAS
+    # (`inc_alias = inc`) doesn't run the same validator twice
+    _seen: set = set()
+    fvs: List[FieldValidatorMeta] = []
+    for m in fv_by_name.values():
+        if id(m) not in _seen:
+            _seen.add(id(m))
+            fvs.append(m)
+    mvs: List[ModelValidatorMeta] = []
+    for m in mv_by_name.values():
+        if id(m) not in _seen:
+            _seen.add(id(m))
+            mvs.append(m)
     declared = set(getattr(cls, "__fields__", {}) or {})
     for fm in fvs:
         if not fm.check_fields:

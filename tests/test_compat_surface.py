@@ -313,3 +313,81 @@ def test_profile_field_wrapper():
         wrapped(-1)
     st = prof.get_stats().field_stats["n"]
     assert st.validation_count == 2 and st.errors == 1
+
+
+# --- review regression pins (r4 code-review findings) ------------------------
+
+def test_scalar_zero_bound_survives_scale_path(spark):
+    """ge=0 must NOT vanish on the DataFrame path (0 == False trap)."""
+    iv = IntValidator(ge=0)
+    df = spark.createDataFrame([(-5,), (0,), (3,)], "n long")
+    got = {r["n"]: r["valid"] for r in iv.with_validation(df, "n").collect()}
+    assert got == {-5: False, 0: True, 3: True}
+
+
+def test_array_validator_unsupported_item_type_is_valueerror():
+    with pytest.raises(ValueError, match="unsupported array item type"):
+        ArrayValidator("object")
+    with pytest.raises(ValueError):
+        compile_json_schema({"type": "array", "items": {"type": "object"}})
+
+
+def test_profiler_track_dispatches_on_subclass(spark):
+    from satya_spark.profiling import ValidationProfiler
+
+    class P2(Model):
+        a: int
+
+    class C2(P2):
+        b: int
+
+    for c in (P2, C2):
+        c.validator(spark)
+    ValidationProfiler().track(P2)
+    inst = C2.model_validate({"a": 1, "b": 2})
+    assert type(inst) is C2 and inst.b == 2
+
+
+class NInner(Model):
+    n: int
+
+    @field_serializer("n", when_used="json")
+    def as_str(self, value):
+        return f"n={value}"
+
+
+class NOuter(Model):
+    inner: NInner
+
+
+def test_nested_json_serializers_fire_through_dump():
+    """mode propagates into nested models so when_used='json' fires."""
+    o = NOuter.model_construct(inner=NInner.model_construct(n=5))
+    assert o.model_dump()["inner"]["n"] == 5
+    assert '"n=5"' in o.model_dump_json()
+
+
+def test_field_serializer_override_and_deactivation():
+    class SBase(Model):
+        a: int
+        b: int
+
+        @field_serializer("a")
+        def ser(self, value):
+            return f"base:{value}"
+
+    class SOverride(SBase):
+        @field_serializer("b")
+        def ser(self, value):  # redefinition MOVES the serializer to b
+            return f"child:{value}"
+
+    class SDisabled(SBase):
+        def ser(self):  # undecorated shadow deactivates it
+            return None
+
+    base = SBase.model_construct(a=1, b=2)
+    assert base.model_dump() == {"a": "base:1", "b": 2}
+    ov = SOverride.model_construct(a=1, b=2)
+    assert ov.model_dump() == {"a": 1, "b": "child:2"}
+    dis = SDisabled.model_construct(a=1, b=2)
+    assert dis.model_dump() == {"a": 1, "b": 2}

@@ -485,3 +485,75 @@ def test_validate_df_dotted_plain_parity(spark):
         ("WEIRD@X", "abc", True),
         ("nope", "abc", False),
     ]
+
+
+def test_aliased_validator_runs_once(spark):
+    """`inc_alias = inc` must not double-apply the transform."""
+
+    class M(Model):
+        x: int
+
+        @field_validator("x", mode="before")
+        def inc(cls, v, info):
+            return v + 1
+
+        inc_alias = inc
+
+    M.validator(spark)
+    assert M(x=1).x == 2  # once, not (1+1)+1
+
+
+class _LeafC(Model):
+    c: str = Field(min_length=4)
+
+
+class _BoxB(Model):
+    b: _LeafC
+
+
+class _BoxX(Model):
+    b: _LeafC
+
+
+class _G(Model):
+    m: _BoxB
+    x: _BoxX  # sibling containing the same sub-path name
+
+    @field_validator("m.b.c", mode="plain")
+    def any_c(cls, v, info):
+        return v
+
+
+def test_suppression_does_not_leak_to_siblings(spark):
+    """A dotted plain validator on one nested field must not disable
+    the SAME leaf path inside a sibling nested field."""
+    G = _G
+    for k in (_LeafC, _BoxB, _BoxX, _G):
+        k.validator(spark)
+    # plain target passes with a too-short value; the SIBLING's
+    # identical path keeps its kernel
+    G(m={"b": {"c": "x"}}, x={"b": {"c": "long-enough"}})
+    with pytest.raises(ModelValidationError):
+        G(m={"b": {"c": "x"}}, x={"b": {"c": "z"}})
+
+
+class _Inner2(Model):
+    email: str
+
+
+class _Outer5(Model):
+    inner: _Inner2
+
+    @field_validator("inner.email", mode="before")
+    def up(cls, v, info):
+        return v.upper()
+
+
+def test_dotted_transform_does_not_mutate_model_instance_input(spark):
+    Inner2, Outer5 = _Inner2, _Outer5
+    for k in (Inner2, Outer5):
+        k.validator(spark)
+    i = Inner2(email="ada@math.org")
+    o = Outer5(inner=i)
+    assert i.email == "ada@math.org"  # caller's instance untouched
+    assert o.inner.email == "ADA@MATH.ORG"
