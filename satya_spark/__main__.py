@@ -195,6 +195,90 @@ def cmd_triage(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Training-data corpus hygiene, one job: PII redaction +
+    quality/repetition filtering + optional exact dedup over a
+    documents-shaped table. Kept rows (text REDACTED) go to
+    <output>/kept, dropped rows with per-rule reasons to
+    <output>/dropped, and one JSON summary line prints. Everything is
+    JVM-side: regex kernels for PII, the distributed explode→
+    partial-agg shape for repetition, a fingerprint window for dedup
+    — no Python in the data plane."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions import text as tx
+    from .functions.pii import with_pii
+    from .session import get_spark
+
+    spark = get_spark(app_name="satya-spark-clean")
+    idc, txt = args.id_col, args.text_col
+    df = spark.read.parquet(args.input)
+    sig = tx.with_repetition(df, text_col=txt, id_col=idc)
+    d = df.join(sig, idc)
+    d = with_pii(d, text_col=txt)
+
+    empty = F.array().cast("array<string>")
+
+    def _flag(cond, name):
+        return F.when(cond, F.array(F.lit(name))).otherwise(empty)
+
+    reasons = [
+        _flag(F.col("n_tokens") < args.min_tokens, "too_short"),
+        _flag(F.col("n_tokens") > args.max_tokens, "too_long"),
+        _flag(
+            F.coalesce(F.col("ttr"), F.lit(1.0)) < args.min_ttr, "low_ttr"
+        ),
+        _flag(
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+            > args.max_top_bigram,
+            "repetitive",
+        ),
+    ]
+    if args.drop_pii:
+        reasons.append(_flag(F.col("pii_types") > 0, "pii"))
+    d = d.withColumn("drop_reasons", F.concat(*reasons))
+    if args.dedup:
+        # keep-first per normalized-text fingerprint; duplicates get a
+        # reason instead of silently vanishing (auditable drop)
+        w = Window.partitionBy(tx.fingerprint(F.col(txt))).orderBy(idc)
+        d = d.withColumn(
+            "drop_reasons",
+            F.when(
+                F.row_number().over(w) > 1,
+                F.concat(F.col("drop_reasons"), F.array(F.lit("duplicate"))),
+            ).otherwise(F.col("drop_reasons")),
+        )
+    keep = F.size("drop_reasons") == 0
+    helper_cols = [
+        "n_tokens", "n_distinct", "ttr", "top_bigram_count",
+        "top_bigram_frac", "pii_email", "pii_ssn", "pii_phone", "pii_ipv4",
+        "pii_types", "text_redacted",
+    ]
+    kept = (
+        d.filter(keep)
+        .withColumn(txt, F.col("text_redacted"))  # redacted text ships
+        .drop("drop_reasons", *helper_cols)
+    )
+    dropped = d.filter(~keep).drop(*helper_cols)
+    kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+    dropped.write.mode("overwrite").parquet(f"{args.output}/dropped")
+    n_in = df.count()
+    n_kept = spark.read.parquet(f"{args.output}/kept").count()
+    print(
+        json.dumps(
+            {
+                "rows_in": n_in,
+                "rows_kept": n_kept,
+                "rows_dropped": n_in - n_kept,
+                "kept_path": f"{args.output}/kept",
+                "dropped_path": f"{args.output}/dropped",
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="satya_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -230,11 +314,36 @@ def main(argv=None) -> int:
     )
     t.add_argument("--drift-width", type=float, default=200.0)
     t.add_argument("--drift-buckets", type=int, default=20)
+    c = sub.add_parser(
+        "clean",
+        help="corpus hygiene: PII redaction + quality/repetition"
+        " filter + optional exact dedup",
+    )
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument("--max-tokens", type=int, default=1_000_000)
+    c.add_argument("--min-ttr", type=float, default=0.1)
+    c.add_argument("--max-top-bigram", type=float, default=0.5)
+    c.add_argument(
+        "--drop-pii",
+        action="store_true",
+        help="drop PII-bearing rows entirely instead of redacting",
+    )
+    c.add_argument(
+        "--dedup",
+        action="store_true",
+        help="exact dedup on the normalized-text fingerprint (keep-first)",
+    )
     args = p.parse_args(argv)
     if args.cmd == "validate":
         return cmd_validate(args)
     if args.cmd == "triage":
         return cmd_triage(args)
+    if args.cmd == "clean":
+        return cmd_clean(args)
     return 1
 
 

@@ -144,3 +144,49 @@ def test_cli_validate_quarantine_split(spark, tmp_path):
     quar = read_split(spark, f"{out}/split", "quarantine")
     assert clean.count() + quar.count() == summary["rows"]
     assert quar.count() > 0
+
+
+def test_cli_clean_corpus(spark, tmp_path):
+    """clean: PII redacted in kept rows, short/repetitive/duplicate
+    rows dropped with per-rule reasons, one JSON summary line."""
+    import json as _json
+
+    from satya_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "mail ada@math.org the quick brown fox jumps over the dog"),
+        (3, "dup dup dup dup dup dup dup dup"),        # repetitive
+        (4, "too short"),                               # < min tokens
+        (5, "the quick brown fox jumps over the lazy dog tonight"),  # dup of 1
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "clean", "--input", src, "--output", out,
+                "--min-tokens", "5", "--max-top-bigram", "0.5", "--dedup",
+            ]
+        )
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["rows_in"] == 5
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    dropped = {
+        r["doc_id"]: sorted(r["drop_reasons"])
+        for r in spark.read.parquet(f"{out}/dropped").collect()
+    }
+    assert set(kept) == {1, 2}
+    assert "<EMAIL>" in kept[2] and "ada@math.org" not in kept[2]
+    assert dropped[3] == ["repetitive"]
+    # reasons ACCUMULATE: 2 tokens → too_short, and its single bigram
+    # is 100% of bigrams → repetitive too
+    assert dropped[4] == ["repetitive", "too_short"]
+    assert dropped[5] == ["duplicate"]
+    assert summary["rows_kept"] == 2 and summary["rows_dropped"] == 3
