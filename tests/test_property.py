@@ -670,3 +670,103 @@ def test_decorator_two_path_parity(spark, f, mode, tname, rname, values):
         assert errs_s == errs_b, f"verdicts for {v!r}: {errs_s} vs {errs_b}; {cfg}"
         if ok_s:
             assert val_s == val_b, f"value for {v!r}: {val_s!r} vs {val_b!r}; {cfg}"
+
+
+# --- dotted-path decorator parity (nested struct leaf) -----------------------
+
+def _dv_nested_model(f: FieldSpec, mode: str, tname: str, rname: str):
+    """Outer model with `inner: Inner` where Inner.s carries the
+    fuzzed constraints and the decorated validator targets the DOTTED
+    path 'inner.s' — exercising withField rewrites + kernel-drop on
+    the DF path and dict-navigation + suppression threading on the
+    small-batch path."""
+    from satya_spark import Field, Model, field_validator
+
+    tf, rf = _DV_TRANSFORMS[tname], _DV_RAISERS[rname]
+    kw = {
+        k: getattr(f, k)
+        for k in ("min_length", "max_length", "pattern", "email", "enum")
+        if getattr(f, k) not in (None, False)
+    }
+    inner_ns = {
+        "__annotations__": {"s": str if f.required else __import__("typing").Optional[str]},
+        "s": Field(**kw),
+    }
+    Inner = type("DvInnerFuzz", (Model,), inner_ns)
+
+    def v_s(cls, v, info):
+        if rf(v):
+            raise ValueError("fuzz says no")
+        return tf(v)
+
+    outer_ns = {
+        "__annotations__": {"inner": Inner},
+        "inner": Field(),
+        "v_s": field_validator("inner.s", mode=mode)(v_s),
+    }
+    return Inner, type("DvOuterFuzz", (Model,), outer_ns)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    f=str_field,
+    mode=st.sampled_from(["before", "after", "plain"]),
+    tname=st.sampled_from(sorted(_DV_TRANSFORMS)),
+    rname=st.sampled_from(sorted(_DV_RAISERS)),
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="abz 09@.", max_size=8),
+            st.sampled_from(["", "   ", "a@b.co", "red", "azz"]),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_dotted_decorator_two_path_parity(spark, f, mode, tname, rname, values):
+    from satya_spark.model import ModelValidationError
+
+    Inner, Outer = _dv_nested_model(f, mode, tname, rname)
+    for c in (Inner, Outer):
+        c.validator(spark)
+
+    small = []
+    for v in values:
+        try:
+            inst = Outer(inner={"s": v})
+            small.append((True, inst.inner.s if hasattr(inst.inner, "s") else None, []))
+        except ModelValidationError as e:
+            small.append(
+                (False, None, sorted({err.constraint for err in e.errors}))
+            )
+        except AttributeError:
+            small.append((True, None, []))
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType(), False),
+            T.StructField(
+                "inner",
+                T.StructType([T.StructField("s", T.StringType(), True)]),
+                True,
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, (v,)) for i, v in enumerate(values)], schema
+    )
+    rows = sorted(Outer.validate_df(df).collect(), key=lambda r: r["i"])
+    big = [
+        (
+            bool(r["valid"]),
+            r["inner"]["s"] if r["inner"] is not None else None,
+            sorted({x["constraint_name"] for x in r["violations"]}),
+        )
+        for r in rows
+    ]
+    cfg = f"cfg=({mode},{tname},{rname}) spec={f}"
+    for v, (ok_s, val_s, errs_s), (ok_b, val_b, errs_b) in zip(values, small, big):
+        assert ok_s == ok_b, f"valid mismatch for {v!r}: {ok_s} vs {ok_b}; {cfg}"
+        assert errs_s == errs_b, f"verdicts for {v!r}: {errs_s} vs {errs_b}; {cfg}"
+        if ok_s:
+            assert val_s == val_b, f"value for {v!r}: {val_s!r} vs {val_b!r}; {cfg}"
