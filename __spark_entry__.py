@@ -963,6 +963,28 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level conversation checks (turn contiguity, role
+    alternation, system placement, tool-role pairing) — one conv_id
+    window shuffle; see satya_spark/convcheck.py."""
+    from satya_spark.convcheck import conversation_structure_violations
+
+    return conversation_structure_violations(from_tpch(spark, sf_dir))
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-8-gram overlap of the (dup-
+    planted) documents corpus against the derived eval suite;
+    broadcast bench side, one groupBy(doc_id) over hit rows only."""
+    from satya_spark.docfix import docs_from_testdata, eval_suite_from_testdata
+    from satya_spark.functions.decontam import contamination_report
+
+    return contamination_report(
+        docs_from_testdata(spark, sf_dir),
+        eval_suite_from_testdata(spark, sf_dir),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: run the full validation pipeline and
     return per-(field, constraint) violation counts."""
@@ -994,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "referential": q_referential,
             "column_stats": q_column_stats,
             "conv_stats": q_conv_stats,
+            "conv_structure": q_conv_structure,
             "null_rate": q_null_rate,
             "drift_psi": q_drift_psi,
             "drift_ks": q_drift_ks,
@@ -1013,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_repetition": q_text_repetition,
             "text_pii": q_text_pii,
             "dedup_exact": q_dedup_exact,
+            "decontam": q_decontam,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_minhash_tight": q_dedup_minhash_tight,
@@ -1093,6 +1117,9 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(count(DISTINCT {fld}) AS BIGINT) AS n_distinct FROM transcripts"
         )
     out["column_stats"] = _duck(" UNION ALL ".join(stats_parts))
+    from satya_spark.convcheck import conversation_structure_sql
+
+    out["conv_structure"] = _duck(conversation_structure_sql("transcripts"))
     out["conv_stats"] = _duck(
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
         "max(turn_idx) AS max_turn_idx, "
@@ -1539,6 +1566,16 @@ def _doc_oracles() -> dict[str, str]:
         f"CAST({px.pii_count_types_sql('text')} AS BIGINT) AS pii_types, "
         f"{px.redact_sql('text')} AS text_redacted "
         "FROM pii_docs"
+    )
+    from satya_spark.docfix import eval_cte
+    from satya_spark.functions.decontam import contamination_report_sql
+
+    o["decontam"] = (
+        W
+        + ", "
+        + eval_cte("duckdb")
+        + "\n"
+        + contamination_report_sql("docs", "eval_suite")
     )
     o["dedup_exact"] = W + (
         f", fps AS (SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs) "

@@ -55,6 +55,7 @@ HEADLINE = [
     "unique_key",
     "referential",
     "conv_stats",
+    "conv_structure",  # sequence-level checks: one conv_id window (r4)
     "column_stats",
     "drift_psi",
     "drift_ks",
@@ -74,6 +75,7 @@ DEDUP_HEADLINE = [
     "dedup_minhash_tight",  # production banding: 2×4-row bands
     "dedup_simhash_pairs",
     "dedup_embedding",  # arrow sketch + numpy pair-verify (r4)
+    "decontam",  # benchmark n-gram decontamination, broadcast bench side (r4)
     "ann_lsh_topk",  # expr twin, kept for the r4 before/after
     "ann_lsh_arrow",  # single-pass numpy scorer (7.6× the expr twin)
 ]

@@ -87,3 +87,39 @@ def pii_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(pii_with_clause() + " SELECT * FROM pii_docs")
+
+
+def eval_cte(dialect: str = "duckdb") -> str:
+    """Benchmark/eval-suite fixture for the decontamination gate:
+    for every 37th document, the eval "prompt" is tokens 4..13 of the
+    normalized doc text — guaranteed word-8-gram overlap with the
+    source document (and its planted dups), zero overlap for most of
+    the rest of the corpus. DuckDB dialect only: the Spark side is
+    built with the DataFrame API (:func:`eval_suite_from_testdata`),
+    so no Spark-SQL string-escape variant is needed."""
+    if dialect != "duckdb":
+        raise ValueError("eval_cte is the DuckDB oracle side only")
+    from .functions.text import tokens_ws_sql
+
+    t = tokens_ws_sql("text")
+    return (
+        "eval_suite AS (\n"
+        "  SELECT doc_id AS eval_id,\n"
+        f"         array_to_string(list_slice({t}, 4, 13), ' ') AS text\n"
+        "  FROM documents WHERE doc_id % 37 = 0\n"
+        ")"
+    )
+
+
+def eval_suite_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`eval_cte` (DataFrame API)."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import tokens_ws
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_ws(F.col("text"))
+    return docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(toks, 4, 10), " ").alias("text"),
+    )

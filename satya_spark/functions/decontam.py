@@ -1,0 +1,154 @@
+"""Benchmark decontamination: word-n-gram overlap between a training
+corpus and an evaluation suite.
+
+The standard training-data hygiene step (GPT-3 appendix C / Gopher /
+FLAN papers all use a variant): a training document is *contaminated*
+if it shares enough word n-grams with any benchmark prompt, and must
+be dropped before training. Re-expressed Spark-first:
+
+* corpus side — distinct word-``n``-grams per document from ONE
+  normalized-token projection (narrow; no shuffle to build).
+* benchmark side — the distinct n-gram set of the whole eval suite.
+  Eval suites are tiny next to a 100 TB corpus (thousands of prompts
+  vs 10^11 documents), so this side is **broadcast**; the exploded
+  corpus grams never shuffle for the probe.
+* per-doc verdict — inner hash join corpus-grams ⨝ bench-grams, then
+  ONE groupBy(doc_id) over the *hit* rows only (bounded by actual
+  overlap, not corpus size). Output: (doc_id, n_grams, n_hit, share).
+
+Grams are joined as md5-derived 63-bit ints (portable_hash64) so the
+shuffled/broadcast key is 8 bytes, not a 50-char string, and so the
+DuckDB oracle can compute byte-identical keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64, portable_hash64_sql
+from .text import tokens_ws, tokens_ws_sql
+
+DECONTAM_N = 8  # word n-gram width (GPT-3 used 13, Gopher 8)
+
+
+def word_ngrams(col: Column, n: int = DECONTAM_N) -> Column:
+    """Array of space-joined word n-grams of the normalized text.
+    Guarded: sequence(1, 0) would count *down* in Spark, so texts
+    shorter than ``n`` tokens map to an empty array explicitly."""
+    toks = tokens_ws(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams_sql(name: str, n: int = DECONTAM_N) -> str:
+    """DuckDB twin of :func:`word_ngrams` (list lambda + 1-based
+    inclusive slices; range(1, 1) is already empty so no guard
+    branch is needed, but we keep one for clarity/parity)."""
+    t = tokens_ws_sql(name)
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DECONTAM_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlap with the benchmark suite: (doc_id,
+    n_grams, n_hit, share) for every document sharing ≥1 distinct
+    n-gram with any benchmark text. ``share`` = n_hit / n_grams
+    rounded to 6 places (distinct-gram semantics on both sides).
+
+    Plan shape: corpus explode is narrow, bench side is broadcast,
+    the only Exchange is the final groupBy(doc_id) over hit rows.
+    """
+    bench_grams = (
+        bench.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(bench_text_col), n))
+            ).alias("__g")
+        )
+        .select(portable_hash64(F.col("__g"), "dc").alias("__gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__grams"),
+    )
+    exploded = doc_grams.select(
+        F.col(id_col),
+        F.size("__grams").alias("n_grams"),
+        F.explode("__grams").alias("__g"),
+    ).withColumn("__gh", portable_hash64(F.col("__g"), "dc"))
+    hits = exploded.join(F.broadcast(bench_grams), "__gh", "inner")
+    return (
+        hits.groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("share"),
+        )
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DECONTAM_N,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop-list: ids of documents with ≥ ``min_hits`` overlapping
+    n-grams (count-threshold semantics, the form the GPT-3/Gopher
+    filters actually apply)."""
+    rep = contamination_report(
+        docs, bench, n=n, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col,
+    )
+    return rep.filter(F.col("n_hit") >= min_hits).select(id_col)
+
+
+def contamination_report_sql(
+    docs_table: str,
+    bench_table: str,
+    n: int = DECONTAM_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`contamination_report` — same distinct
+    semantics, same md5-derived join key, same rounding."""
+    dg = word_ngrams_sql(text_col, n)
+    bg = word_ngrams_sql(bench_text_col, n)
+    gh = portable_hash64_sql("__g", "dc")
+    return f"""
+SELECT {id_col}, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       round(CAST(count(*) AS DOUBLE) / n_grams, 6) AS share
+FROM (
+  SELECT {id_col}, len(grams) AS n_grams, unnest(grams) AS __g
+  FROM (SELECT {id_col}, list_distinct({dg}) AS grams FROM {docs_table})
+) e
+WHERE {gh} IN (
+  SELECT DISTINCT {portable_hash64_sql('__g', 'dc')}
+  FROM (SELECT unnest(list_distinct({bg})) AS __g FROM {bench_table})
+)
+GROUP BY {id_col}, n_grams
+"""
