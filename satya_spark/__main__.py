@@ -179,6 +179,22 @@ def cmd_triage(args) -> int:
         "violation_sample": [r.asDict() for r in sample],
         "worst_groups": [r.asDict() for r in worst],
     }
+    conv_cols = {"conv_id", "turn_idx", "role", "tool"}
+    if conv_cols.issubset(set(df.columns)):
+        # transcripts-shaped input: sequence-level structure summary
+        # (one conv_id window; counts only, driver-small)
+        from .convcheck import conversation_structure_violations
+
+        struct = (
+            conversation_structure_violations(df)
+            .groupBy("constraint_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("constraint_name")
+            .collect()
+        )
+        report["structure_violations"] = {
+            r["constraint_name"]: r["n"] for r in struct
+        }
     if args.drift_group and args.drift_metric:
         m = df.select(
             F.coalesce(F.col(args.drift_group).cast("string"), F.lit("<null>")).alias("g"),
@@ -237,6 +253,25 @@ def cmd_clean(args) -> int:
     ]
     if args.drop_pii:
         reasons.append(_flag(F.col("pii_types") > 0, "pii"))
+    if args.decontam_against:
+        # benchmark decontamination: drop rows sharing >= min-hits
+        # word-n-grams with the eval suite (functions/decontam.py);
+        # the drop-list join key is the id column, the eval side is
+        # broadcast inside contaminated_ids
+        from .functions.decontam import contaminated_ids
+
+        bench = spark.read.parquet(args.decontam_against)
+        ids = contaminated_ids(
+            df,
+            bench,
+            n=args.decontam_ngram,
+            min_hits=args.decontam_min_hits,
+            id_col=idc,
+            text_col=txt,
+            bench_text_col=args.decontam_text_col,
+        ).withColumn("__contam", F.lit(True))
+        d = d.join(ids, idc, "left")
+        reasons.append(_flag(F.col("__contam"), "contaminated"))
     d = d.withColumn("drop_reasons", F.concat(*reasons))
     if args.dedup:
         # keep-first per normalized-text fingerprint; duplicates get a
@@ -253,7 +288,7 @@ def cmd_clean(args) -> int:
     helper_cols = [
         "n_tokens", "n_distinct", "ttr", "top_bigram_count",
         "top_bigram_frac", "pii_email", "pii_ssn", "pii_phone", "pii_ipv4",
-        "pii_types", "text_redacted",
+        "pii_types", "text_redacted", "__contam",  # drop() ignores absents
     ]
     kept = (
         d.filter(keep)
@@ -337,6 +372,14 @@ def main(argv=None) -> int:
         action="store_true",
         help="exact dedup on the normalized-text fingerprint (keep-first)",
     )
+    c.add_argument(
+        "--decontam-against",
+        help="parquet eval-suite path: drop rows sharing word n-grams "
+        "with it (benchmark decontamination)",
+    )
+    c.add_argument("--decontam-ngram", type=int, default=8)
+    c.add_argument("--decontam-min-hits", type=int, default=1)
+    c.add_argument("--decontam-text-col", default="text")
     args = p.parse_args(argv)
     if args.cmd == "validate":
         return cmd_validate(args)

@@ -124,6 +124,11 @@ def test_cli_triage(spark, tmp_path):
     assert 1 <= len(report["worst_groups"]) <= 3
     psis = {row["grp"]: row["psi"] for row in report["group_psi"]}
     assert "user" in psis and len(psis) >= 3
+    # transcripts-shaped input -> sequence-level structure summary
+    # (synthesize plants moderator roles and tools on user turns)
+    sv = report["structure_violations"]
+    assert sv.get("role_unknown", 0) > 0
+    assert sv.get("tool_on_invalid_role", 0) > 0
 
 
 def test_cli_validate_quarantine_split(spark, tmp_path):
@@ -190,3 +195,43 @@ def test_cli_clean_corpus(spark, tmp_path):
     assert dropped[4] == ["repetitive", "too_short"]
     assert dropped[5] == ["duplicate"]
     assert summary["rows_kept"] == 2 and summary["rows_dropped"] == 3
+
+
+def test_cli_clean_decontam(spark, tmp_path):
+    """clean --decontam-against: rows overlapping the eval suite by
+    >= min-hits word n-grams are dropped with reason 'contaminated';
+    non-overlapping rows survive."""
+    import json as _json
+
+    from satya_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], "text string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "out")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "clean", "--input", src, "--output", out,
+                "--min-tokens", "2", "--decontam-against", bench,
+            ]
+        )
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["rows_kept"] == 1
+    dropped = {
+        r["doc_id"]: list(r["drop_reasons"])
+        for r in spark.read.parquet(f"{out}/dropped").collect()
+    }
+    assert dropped == {1: ["contaminated"]}
