@@ -66,6 +66,7 @@ def contamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-document overlap with the benchmark suite: (doc_id,
     n_grams, n_hit, share) for every document sharing ≥1 distinct
@@ -74,6 +75,12 @@ def contamination_report(
 
     Plan shape: corpus explode is narrow, bench side is broadcast,
     the only Exchange is the final groupBy(doc_id) over hit rows.
+
+    ``broadcast=True`` is right for real eval suites (10^4–10^6
+    prompts → ≲100 MB of 8-byte keys). If the "benchmark" side is
+    itself corpus-scale (e.g. decontaminating one training corpus
+    against another), pass ``broadcast=False``: the probe becomes a
+    shuffle hash join on the gram key and AQE picks the strategy.
     """
     bench_grams = (
         bench.select(
@@ -93,7 +100,8 @@ def contamination_report(
         F.size("__grams").alias("n_grams"),
         F.explode("__grams").alias("__g"),
     ).withColumn("__gh", portable_hash64(F.col("__g"), "dc"))
-    hits = exploded.join(F.broadcast(bench_grams), "__gh", "inner")
+    probe = F.broadcast(bench_grams) if broadcast else bench_grams
+    hits = exploded.join(probe, "__gh", "inner")
     return (
         hits.groupBy(id_col, "n_grams")
         .agg(F.count(F.lit(1)).alias("n_hit"))

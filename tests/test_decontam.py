@@ -103,3 +103,15 @@ def test_report_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_report_shuffle_join_variant(spark):
+    """broadcast=False: same values, shuffle-join plan (the
+    corpus-vs-corpus configuration)."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    bench = spark.createDataFrame(BENCH, ["text"])
+    a = sorted(map(tuple, contamination_report(docs, bench, n=8).collect()))
+    b = sorted(
+        map(tuple, contamination_report(docs, bench, n=8, broadcast=False).collect())
+    )
+    assert a == b
