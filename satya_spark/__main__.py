@@ -90,6 +90,14 @@ def cmd_validate(args) -> int:
     spec.validate()
     eng = ValidationEngine(spec, n_shards=args.shards)
 
+    if args.file_manifest:
+        # append-only incremental mode: validate only files absent
+        # from the file manifest (engine.run_incremental); exit code
+        # mirrors the full mode
+        summary = eng.run_incremental(spark, args.input, args.file_manifest)
+        print(json.dumps(summary))
+        return 0 if summary["passed"] else 3
+
     if args.format == "parquet":
         df = spark.read.parquet(args.input)
     else:
@@ -324,6 +332,11 @@ def main(argv=None) -> int:
     v.add_argument("--spec", default="transcripts", help="built-in spec name")
     v.add_argument("--output", required=True)
     v.add_argument("--manifest", help="manifest dir (enables resume)")
+    v.add_argument(
+        "--file-manifest",
+        help="file-manifest dir: append-only incremental mode — "
+        "validate only new/changed parquet files (skips --output)",
+    )
     v.add_argument("--shards", type=int, default=64)
     v.add_argument("--sample-per-shard", type=int, default=0)
     v.add_argument("--coerce", action="store_true", help="coercion mode")

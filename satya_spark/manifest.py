@@ -134,3 +134,86 @@ def pending_shards(
 
 def new_run_id() -> str:
     return time.strftime("%Y%m%dT%H%M%S") + "-" + uuid.uuid4().hex[:8]
+
+
+# --- file-level manifest (append-only incremental validation) ------------
+
+FILE_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("file_fingerprint", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_valid", T.LongType()),
+        T.StructField("n_invalid_rows", T.LongType()),
+        T.StructField("passed", T.BooleanType()),
+        T.StructField("completed_at_ms", T.LongType()),
+    ]
+)
+
+
+def file_fingerprint(path: str) -> str:
+    """Identity of one data file for incremental skip decisions:
+    relative name + size + mtime_ns + inode (same rationale as the
+    input-level fingerprint — an in-place rewrite must change it).
+    On Iceberg the (file_path, snapshot_id) pair plays this role."""
+    st = os.stat(path)
+    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}:{st.st_ino}"
+
+
+class FileManifest:
+    """Parquet-backed per-FILE lineage, complementing the shard
+    manifest: the unit of skip is a physical data file, which is the
+    natural unit of an append-only corpus (daily drops, streaming
+    sink output). Same atomic-rename append mechanics as Manifest."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _files(self) -> list[str]:
+        return [
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    def read(self) -> DataFrame:
+        files = self._files()
+        if not files:
+            return self.spark.createDataFrame([], FILE_MANIFEST_SCHEMA)
+        return self.spark.read.schema(FILE_MANIFEST_SCHEMA).parquet(*files)
+
+    def validated_fingerprints(self) -> set[str]:
+        return {
+            r["file_fingerprint"]
+            for r in self.read().select("file_fingerprint").distinct().collect()
+        }
+
+    def append(self, rows: list[dict]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not rows:
+            return
+        cols = [f.name for f in FILE_MANIFEST_SCHEMA.fields]
+        arrow_schema = pa.schema(
+            [
+                pa.field("run_id", pa.string()),
+                pa.field("file", pa.string()),
+                pa.field("file_fingerprint", pa.string()),
+                pa.field("n_rows", pa.int64()),
+                pa.field("n_valid", pa.int64()),
+                pa.field("n_invalid_rows", pa.int64()),
+                pa.field("passed", pa.bool_()),
+                pa.field("completed_at_ms", pa.int64()),
+            ]
+        )
+        table = pa.Table.from_pylist(
+            [{c: r.get(c) for c in cols} for r in rows], schema=arrow_schema
+        )
+        fname = f"files-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.path, "." + fname + ".tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.path, fname))

@@ -235,3 +235,25 @@ def test_cli_clean_decontam(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/dropped").collect()
     }
     assert dropped == {1: ["contaminated"]}
+
+
+def test_cli_validate_incremental(spark, tmp_path):
+    """validate --file-manifest: second run over unchanged input
+    validates zero files."""
+    import json as _json
+
+    from satya_spark.transcripts import synthesize
+
+    inp = str(tmp_path / "in")
+    synthesize(spark, 100).coalesce(2).write.parquet(inp)
+    fm = str(tmp_path / "fm")
+    out = str(tmp_path / "out")  # unused in incremental mode but required
+    r1 = _cli("validate", "--input", inp, "--output", out, "--file-manifest", fm)
+    s1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert r1.returncode == 3, r1.stderr[-1500:]  # planted violations
+    assert s1["files_validated"] == s1["files_total"] >= 2
+    r2 = _cli("validate", "--input", inp, "--output", out, "--file-manifest", fm)
+    s2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["files_validated"] == 0
+    assert s2["files_skipped"] == s1["files_total"]
+    assert r2.returncode == 0  # nothing validated -> nothing failed

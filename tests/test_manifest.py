@@ -196,3 +196,80 @@ def test_resume_scoped_to_row_rule_context(spark, tmp_path):
         df, m, run_id="c3", fingerprint="in"
     )
     assert same.count() == 0 and other.count() == 4
+
+
+def test_run_incremental_append_only(spark, tmp_path):
+    """File-level incremental: first run validates all files, a
+    re-run validates none, a new file validates only itself, and an
+    in-place rewrite re-validates the rewritten file."""
+    import shutil
+
+    from satya_spark.engine import ValidationEngine
+    from satya_spark.manifest import FileManifest
+    from satya_spark.spec import transcript_spec
+    from satya_spark.transcripts import synthesize
+
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    mpath = str(tmp_path / "fm")
+    # two initial "daily drop" files
+    stage = str(tmp_path / "stage")
+    synthesize(spark, 80).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in __import__("os").listdir(stage) if p.endswith(".parquet"))
+    shutil.copy(f"{stage}/{part}", inp / "day1.parquet")
+    synthesize(spark, 40).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in __import__("os").listdir(stage) if p.endswith(".parquet"))
+    shutil.copy(f"{stage}/{part}", inp / "day2.parquet")
+
+    eng = ValidationEngine(transcript_spec())
+    s1 = eng.run_incremental(spark, str(inp), mpath)
+    assert (s1["files_total"], s1["files_validated"], s1["files_skipped"]) == (2, 2, 0)
+    assert s1["n_rows"] > 0
+
+    # idempotent re-run: nothing to do
+    s2 = eng.run_incremental(spark, str(inp), mpath)
+    assert (s2["files_validated"], s2["files_skipped"]) == (0, 2)
+
+    # third drop arrives: only it is validated
+    synthesize(spark, 20).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in __import__("os").listdir(stage) if p.endswith(".parquet"))
+    shutil.copy(f"{stage}/{part}", inp / "day3.parquet")
+    s3 = eng.run_incremental(spark, str(inp), mpath)
+    assert (s3["files_validated"], s3["files_skipped"]) == (1, 2)
+
+    # in-place rewrite changes the fingerprint -> re-validated
+    shutil.copy(f"{stage}/{part}", inp / "day1.parquet")
+    s4 = eng.run_incremental(spark, str(inp), mpath)
+    assert s4["files_validated"] == 1
+
+    # manifest accumulates one row per validated (file, fingerprint):
+    # 2 (initial) + 1 (day3) + 1 (day1 rewrite)
+    fm = FileManifest(spark, mpath)
+    assert fm.read().count() == 4
+
+
+def test_run_incremental_spec_scoped(spark, tmp_path):
+    """A changed spec must re-validate recorded files (the skip set
+    is scoped to the spec hash, like shard resume)."""
+    from satya_spark.engine import ValidationEngine
+    from satya_spark.spec import FieldSpec, TableSpec
+    from satya_spark.transcripts import synthesize
+
+    inp = str(tmp_path / "inp")
+    synthesize(spark, 30).coalesce(1).write.parquet(inp)
+    mpath = str(tmp_path / "fm")
+
+    s_a = TableSpec("t", [FieldSpec("conv_id", "string", required=True)])
+    s_b = TableSpec(
+        "t",
+        [FieldSpec("conv_id", "string", required=True, min_length=100)],
+    )
+    e1 = ValidationEngine(s_a)
+    r1 = e1.run_incremental(spark, inp, mpath)
+    assert r1["files_validated"] >= 1
+    r2 = e1.run_incremental(spark, inp, mpath)
+    assert r2["files_validated"] == 0
+    e2 = ValidationEngine(s_b)
+    r3 = e2.run_incremental(spark, inp, mpath)
+    assert r3["files_validated"] == r1["files_validated"]  # re-validated
+    assert r3["passed"] is False  # min_length=100 fails everywhere
