@@ -32,18 +32,40 @@ from .text import tokens_ws, tokens_ws_sql
 DECONTAM_N = 8  # word n-gram width (GPT-3 used 13, Gopher 8)
 
 
-def word_ngrams(col: Column, n: int = DECONTAM_N) -> Column:
-    """Array of space-joined word n-grams of the normalized text.
-    Guarded: sequence(1, 0) would count *down* in Spark, so texts
-    shorter than ``n`` tokens map to an empty array explicitly."""
-    toks = tokens_ws(col)
+def word_ngrams_from_tokens(toks: Column, n: int = DECONTAM_N) -> Column:
+    """Array of space-joined word n-grams of a token-array column.
+
+    Shape matters here: ``arrays_zip`` of ``n`` shifted slices, then a
+    lambda that only touches the zipped struct fields. The naive form —
+    ``transform(sequence(...), i -> array_join(slice(toks, i, n)))`` —
+    inlines whatever expression ``toks`` is into the per-gram lambda,
+    and Catalyst's projection collapse happily substitutes a full
+    tokenization (regexp_replace + split) there, making gram-building
+    O(grams × text_len): measured 6.8 s vs 0.8 s for a 5k-doc corpus
+    (BENCH.md r4). With the zip form the token expression is evaluated
+    at most n+1 times per ROW even under worst-case inlining, and the
+    per-gram work is a concat_ws over bound struct fields.
+
+    Texts shorter than ``n`` tokens map to [] (slices of length
+    greatest(size-n+1, 0) are empty, so the zip is empty)."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, k, cnt).alias(f"t{k}") for k in range(1, n + 1)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        z, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(1, n + 1)])
     )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    # NULL text → NULL tokens would propagate; the contract (and the
+    # DuckDB twin's CASE ... ELSE []) is an empty gram array
+    return F.coalesce(grams, F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column, n: int = DECONTAM_N) -> Column:
+    """Word n-grams of the normalized text. Prefer projecting
+    :func:`~satya_spark.functions.text.tokens_ws` to a real column and
+    calling :func:`word_ngrams_from_tokens` on the attribute — this
+    convenience form tokenizes up to n+1 times per row."""
+    return word_ngrams_from_tokens(tokens_ws(col), n)
 
 
 def word_ngrams_sql(name: str, n: int = DECONTAM_N) -> str:
@@ -83,17 +105,22 @@ def contamination_report(
     shuffle hash join on the gram key and AQE picks the strategy.
     """
     bench_grams = (
-        bench.select(
+        bench.select(tokens_ws(F.col(bench_text_col)).alias("__toks"))
+        .select(
             F.explode(
-                F.array_distinct(word_ngrams(F.col(bench_text_col), n))
+                F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), n))
             ).alias("__g")
         )
         .select(portable_hash64(F.col("__g"), "dc").alias("__gh"))
         .distinct()
     )
     doc_grams = docs.select(
+        F.col(id_col), tokens_ws(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__grams"),
+        F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), n)).alias(
+            "__grams"
+        ),
     )
     exploded = doc_grams.select(
         F.col(id_col),

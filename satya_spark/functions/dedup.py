@@ -166,8 +166,16 @@ def minhash_signature(toks: Column, k: int = MINHASH_K) -> list[Column]:
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
 ) -> DataFrame:
-    toks = F.array_distinct(tokens_ws(F.col(text_col)))
-    return df.select(F.col(id_col), *minhash_signature(toks, k))
+    # project the token set to a real column first: passing the
+    # tokenization expression straight into k transforms would
+    # re-tokenize k times per row (the transform INPUT is evaluated
+    # per call; see decontam.word_ngrams_from_tokens for the
+    # per-element variant of the same trap)
+    t = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens_ws(F.col(text_col))).alias("__toks"),
+    )
+    return t.select(F.col(id_col), *minhash_signature(F.col("__toks"), k))
 
 
 def lsh_candidate_pairs(
