@@ -716,6 +716,31 @@ def q_dedup_embedding_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup): stride-centroid (iters=0,
+    engine-portable) k=8 clustering over embeddings + planted dups,
+    within-cluster exact-cosine drop rule (lower id wins). Expression
+    assignment + fold verify — the bit-exact oracle twin."""
+    from satya_spark.docfix import emb_from_testdata
+    from satya_spark.functions.similarity import semantic_dedup, train_centroids
+
+    emb = emb_from_testdata(spark, sf_dir)
+    cents = train_centroids(emb, k=8, iters=0)
+    return semantic_dedup(emb, cents, threshold=0.9)
+
+
+def q_dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the ARROW path — numpy matmul assignment + numpy
+    batch verify (the production-dims configuration); same oracle
+    (assignment/verify parity via 6-decimal rounding)."""
+    from satya_spark.docfix import emb_from_testdata
+    from satya_spark.functions.similarity import semantic_dedup, train_centroids
+
+    emb = emb_from_testdata(spark, sf_dir)
+    cents = train_centroids(emb, k=8, iters=0)
+    return semantic_dedup(emb, cents, threshold=0.9, impl="arrow")
+
+
 def q_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN on the ARROW path (numpy mapInPandas centroid
     assignment + probe selection — the production-dims config past the
@@ -985,6 +1010,58 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lines_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning (functions/lines.py): per-line terminal-punct
+    / min-words / javascript filter + lorem-ipsum / curly-brace /
+    min-kept-lines page drops — ONE narrow projection, zero shuffle."""
+    from satya_spark.docfix import lines_docs_from_testdata
+    from satya_spark.functions.lines import clean_lines
+
+    return clean_lines(lines_docs_from_testdata(spark, sf_dir))
+
+
+def q_lines_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line dedup: first occurrence per line hash wins
+    (map-side-combining groupBy, 8-byte equi join back, one rebuild
+    shuffle); see functions/lines.py plan-shape notes."""
+    from satya_spark.docfix import lines_docs_from_testdata
+    from satya_spark.functions.lines import dedup_lines
+
+    return dedup_lines(lines_docs_from_testdata(spark, sf_dir))
+
+
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line signals (dup_line_frac /
+    dup_line_char_frac) — distributed explode → groupBy(id, hash),
+    linear where the pure-expression form is O(lines²) per row."""
+    from satya_spark.docfix import lines_docs_from_testdata
+    from satya_spark.functions.lines import line_repetition
+
+    return line_repetition(lines_docs_from_testdata(spark, sf_dir))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 doc-local quality signals (functions/gopher.py):
+    word-count/mean-word-length bounds, hash+ellipsis symbol ratios,
+    bullet/ellipsis line fractions, alpha-word fraction, required
+    stopwords — one narrow projection, zero shuffle."""
+    from satya_spark.docfix import gopher_docs_from_testdata
+    from satya_spark.functions.gopher import gopher_quality
+
+    return gopher_quality(gopher_docs_from_testdata(spark, sf_dir))
+
+
+def q_gopher_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-doc n-gram repetition (top-2/3/4-gram and
+    dup-5..10-gram character fractions): ONE explode of all nine gram
+    sizes → map-side-combining groupBy — linear where the pure-
+    expression form is O(tokens²) per row."""
+    from satya_spark.docfix import gopher_docs_from_testdata
+    from satya_spark.functions.gopher import gopher_ngram_repetition
+
+    return gopher_ngram_repetition(gopher_docs_from_testdata(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: run the full validation pipeline and
     return per-(field, constraint) violation counts."""
@@ -1037,6 +1114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_pii": q_text_pii,
             "dedup_exact": q_dedup_exact,
             "decontam": q_decontam,
+            "lines_clean": q_lines_clean,
+            "lines_dedup": q_lines_dedup,
+            "line_repetition": q_line_repetition,
+            "gopher_quality": q_gopher_quality,
+            "gopher_ngrams": q_gopher_ngrams,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_minhash_tight": q_dedup_minhash_tight,
@@ -1055,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_indexed": q_ann_ivf_indexed,
             "dedup_embedding": q_dedup_embedding,
             "dedup_embedding_expr": q_dedup_embedding_expr,
+            "dedup_semantic": q_dedup_semantic,
+            "dedup_semantic_arrow": q_dedup_semantic_arrow,
             "media_features": q_media_features,
             "decorator_validate": q_decorator_validate,
             "events_drift_daily": q_events_drift_daily,
@@ -1304,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_indexed"] = _ivf_pruned_oracle()  # same pruned semantics
     out["dedup_embedding"] = _embdup_oracle()
     out["dedup_embedding_expr"] = _embdup_oracle()
+    out["dedup_semantic"] = _semantic_dedup_oracle()
+    out["dedup_semantic_arrow"] = _semantic_dedup_oracle()
     out["media_features"] = _media_oracle()
     return out
 
@@ -1394,6 +1480,42 @@ def _ivf_pruned_oracle(k_lists: int = 8, nprobe: int = 2, k: int = 5) -> str:
         "(PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank, "
         "vec_id, cos_sim FROM s "
         f"QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= {k}"
+    )
+
+
+def _semantic_dedup_oracle(k_lists: int = 8, threshold: float = 0.9) -> str:
+    """SQL twin of q_dedup_semantic: stride centroids (iters=0) over
+    embfix, assignment = argmax rounded cosine (ties → smallest
+    centroid idx — same as _nearest_centroid / numpy argmax), pairs
+    within a cluster with rounded cosine ≥ threshold, drop rule =
+    lower id wins (kept_id = min colliding lower id, max_cos = max
+    qualifying cosine)."""
+    from satya_spark.docfix import emb_with_clause
+
+    cos_ec = (
+        "round(list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))), 6)"
+    )
+    cos_ab = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    return emb_with_clause() + (
+        f", par AS (SELECT greatest(CAST(count(*) // {k_lists} AS BIGINT), 1)"
+        " AS stride FROM embfix), "
+        "cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+        " AS c_idx, embedding AS cvec FROM embfix, par"
+        f" WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT {k_lists}), "
+        f"asg AS (SELECT e.vec_id, e.embedding, c.c_idx, {cos_ec} AS s"
+        " FROM embfix e CROSS JOIN cent c), "
+        "lists AS (SELECT vec_id, embedding, c_idx AS list FROM asg"
+        " QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_idx ASC) = 1), "
+        f"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cos_sim"
+        " FROM lists a JOIN lists b ON a.list = b.list AND a.vec_id < b.vec_id) "
+        "SELECT id_b AS vec_id, min(id_a) AS kept_id, max(cos_sim) AS max_cos"
+        f" FROM p WHERE cos_sim >= CAST({threshold!r} AS DOUBLE) GROUP BY id_b"
     )
 
 
@@ -1577,6 +1699,19 @@ def _doc_oracles() -> dict[str, str]:
         + "\n"
         + contamination_report_sql("docs", "eval_suite")
     )
+    from satya_spark.docfix import lines_cte
+    from satya_spark.functions import lines as ln
+
+    WL = "WITH " + lines_cte("duckdb") + "\n"
+    o["lines_clean"] = WL + ln.clean_lines_sql("lines_docs")
+    o["lines_dedup"] = WL + ln.dedup_lines_sql("lines_docs")
+    o["line_repetition"] = WL + ln.line_repetition_sql("lines_docs")
+    from satya_spark.docfix import gopher_cte
+    from satya_spark.functions import gopher as gp
+
+    WG = "WITH " + gopher_cte("duckdb") + "\n"
+    o["gopher_quality"] = WG + gp.gopher_quality_sql("gopher_docs")
+    o["gopher_ngrams"] = WG + gp.gopher_ngram_repetition_sql("gopher_docs")
     o["dedup_exact"] = W + (
         f", fps AS (SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs) "
         "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS canonical_id "

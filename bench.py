@@ -78,6 +78,14 @@ DEDUP_HEADLINE = [
     "decontam",  # benchmark n-gram decontamination, broadcast bench side (r4)
     "ann_lsh_topk",  # expr twin, kept for the r4 before/after
     "ann_lsh_arrow",  # single-pass numpy scorer (7.6× the expr twin)
+    # line/page hygiene tier (r4): C4 cleaning (zero-shuffle narrow),
+    # corpus-global line dedup (8-byte-key shuffle), Gopher quality
+    # (zero-shuffle) + nine-size n-gram repetition (single explode)
+    "lines_clean",
+    "lines_dedup",
+    "gopher_quality",
+    "gopher_ngrams",
+    "dedup_semantic_arrow",  # SemDeDup, numpy assign+verify (r4)
 ]
 
 

@@ -25,10 +25,18 @@ def docs_with_clause() -> str:
 
 
 def docs_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents fixture + planted dups. Repartitioned to the
+    session's default parallelism: the testdata parquet is a single
+    small file that Spark reads as ≤3 splits, which would cap every
+    CPU-heavy downstream stage (per-token md5 in minhash, gram
+    explodes) at 3 of 32 cores. At production scale the corpus
+    arrives in thousands of splits and this exchange is a no-op
+    decision — the row set (and every oracle result) is unchanged."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    return spark.sql(docs_with_clause() + " SELECT * FROM docs")
+    df = spark.sql(docs_with_clause() + " SELECT * FROM docs")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 EMB_CTE = """
@@ -86,7 +94,156 @@ def pii_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    return spark.sql(pii_with_clause() + " SELECT * FROM pii_docs")
+    df = spark.sql(pii_with_clause() + " SELECT * FROM pii_docs")
+    # same small-file split-cap mitigation as docs_from_testdata: the
+    # PII regex battery is CPU-bound and would otherwise run on ≤3 cores
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def lines_cte(dialect: str = "duckdb") -> str:
+    """Multi-line document fixture for the line-hygiene gates
+    (functions/lines.py): the base documents table has single-line
+    texts, so this derives a deterministic multi-line text per doc —
+    two content lines from the doc's own tokens (terminal-punctuated,
+    ≥5 words), a within-doc duplicate of line 1 on doc_id%4, a short
+    line ('click here') on %3, a 'javascript' line on %5, a
+    'lorem ipsum' page-poison line on %7, a curly-brace page-poison
+    line on %11, and a corpus-wide duplicate footer on every doc.
+    NULL branches vanish via concat_ws's NULL-skipping (identical in
+    Spark and DuckDB). DuckDB dialect only — the Spark side is
+    :func:`lines_docs_from_testdata` (DataFrame API)."""
+    if dialect != "duckdb":
+        raise ValueError("lines_cte is the DuckDB oracle side only")
+    from .functions.text import tokens_ws_sql
+
+    t = tokens_ws_sql("text")
+    l1 = f"array_to_string(list_slice({t}, 1, 8), ' ') || ' alpha beta gamma delta.'"
+    l4 = f"array_to_string(list_slice({t}, 9, 14), ' ') || ' epsilon zeta eta theta?'"
+    return (
+        "lines_docs AS (\n"
+        "  SELECT doc_id, concat_ws(chr(10),\n"
+        f"    {l1},\n"
+        f"    CASE WHEN doc_id % 4 = 0 THEN {l1} END,\n"
+        "    CASE WHEN doc_id % 3 = 0 THEN 'click here' END,\n"
+        f"    {l4},\n"
+        "    CASE WHEN doc_id % 5 = 0 THEN"
+        " 'powered by javascript widgets for dynamic content.' END,\n"
+        "    CASE WHEN doc_id % 7 = 0 THEN"
+        " 'lorem ipsum dolor sit amet consectetur.' END,\n"
+        "    CASE WHEN doc_id % 11 = 0 THEN"
+        " '{ var config = load(); }' END,\n"
+        "    'subscribe to the newsletter for more updates today.'"
+        ") AS text\n"
+        "  FROM documents\n"
+        ")"
+    )
+
+
+def lines_docs_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`lines_cte` (DataFrame API). The token
+    array is projected to a real column first (the n+1-tokenizations
+    rule, decontam.py), then both content lines slice the attribute."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import tokens_ws
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", tokens_ws(F.col("text")).alias("__t"))
+    l1 = F.concat(
+        F.array_join(F.slice("__t", 1, 8), " "),
+        F.lit(" alpha beta gamma delta."),
+    )
+    l4 = F.concat(
+        F.array_join(F.slice("__t", 9, 6), " "),
+        F.lit(" epsilon zeta eta theta?"),
+    )
+    did = F.col("doc_id")
+    text_ml = F.concat_ws(
+        "\n",
+        l1,
+        F.when(did % 4 == 0, l1),
+        F.when(did % 3 == 0, F.lit("click here")),
+        l4,
+        F.when(
+            did % 5 == 0,
+            F.lit("powered by javascript widgets for dynamic content."),
+        ),
+        F.when(did % 7 == 0, F.lit("lorem ipsum dolor sit amet consectetur.")),
+        F.when(did % 11 == 0, F.lit("{ var config = load(); }")),
+        F.lit("subscribe to the newsletter for more updates today."),
+    )
+    out = d.select("doc_id", text_ml.alias("text"))
+    # same small-file split-cap mitigation as docs_from_testdata
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+def gopher_cte(dialect: str = "duckdb") -> str:
+    """Multi-line fixture for the Gopher quality/repetition gates
+    (functions/gopher.py): derives from each doc a text exercising
+    every signal branch — a stopword-rich terminal line from the
+    doc's own tokens, a bullet line on doc_id%2, an ellipsis-ended
+    line on %3, a hash-symbol line on %5, a unicode-… line on %7,
+    and (on %4) a 10-word sentence repeated twice so dup-5..10-gram
+    character mass is non-zero. NULL branches vanish via concat_ws.
+    DuckDB dialect only — the Spark side is
+    :func:`gopher_docs_from_testdata`."""
+    if dialect != "duckdb":
+        raise ValueError("gopher_cte is the DuckDB oracle side only")
+    from .functions.text import tokens_ws_sql
+
+    t = tokens_ws_sql("text")
+    l1 = (
+        f"array_to_string(list_slice({t}, 1, 30), ' ')"
+        " || ' the cat and the dog went to be part of that have with us.'"
+    )
+    rep = "'pack my box with five dozen liquor jugs right now'"
+    return (
+        "gopher_docs AS (\n"
+        "  SELECT doc_id, concat_ws(chr(10),\n"
+        f"    {l1},\n"
+        "    CASE WHEN doc_id % 2 = 0 THEN"
+        " '• bullet point entry in the list' END,\n"
+        "    CASE WHEN doc_id % 3 = 0 THEN"
+        " 'read the full story and much more...' END,\n"
+        "    CASE WHEN doc_id % 5 = 0 THEN"
+        " 'tagged #data #spark #quality here' END,\n"
+        "    CASE WHEN doc_id % 7 = 0 THEN 'to be continued…' END,\n"
+        f"    CASE WHEN doc_id % 4 = 0 THEN {rep} END,\n"
+        f"    CASE WHEN doc_id % 4 = 0 THEN {rep} END\n"
+        ") AS text\n"
+        "  FROM documents\n"
+        ")"
+    )
+
+
+def gopher_docs_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`gopher_cte` (DataFrame API; token array
+    projected to a real column first)."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import tokens_ws
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", tokens_ws(F.col("text")).alias("__t"))
+    l1 = F.concat(
+        F.array_join(F.slice("__t", 1, 30), " "),
+        F.lit(" the cat and the dog went to be part of that have with us."),
+    )
+    rep = F.lit("pack my box with five dozen liquor jugs right now")
+    did = F.col("doc_id")
+    text_ml = F.concat_ws(
+        "\n",
+        l1,
+        F.when(did % 2 == 0, F.lit("• bullet point entry in the list")),
+        F.when(did % 3 == 0, F.lit("read the full story and much more...")),
+        F.when(did % 5 == 0, F.lit("tagged #data #spark #quality here")),
+        F.when(did % 7 == 0, F.lit("to be continued…")),
+        F.when(did % 4 == 0, rep),
+        F.when(did % 4 == 0, rep),
+    )
+    out = d.select("doc_id", text_ml.alias("text"))
+    # same small-file split-cap mitigation as docs_from_testdata
+    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 def eval_cte(dialect: str = "duckdb") -> str:

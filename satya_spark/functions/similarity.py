@@ -780,11 +780,17 @@ def embedding_near_dup_pairs(
             "id_b",
         )
     )
+    return _pair_cosine_verify(j, threshold, impl)
+
+
+def _pair_cosine_verify(j: DataFrame, threshold: float, impl: str) -> DataFrame:
+    """Exact-cosine verify of candidate pairs carrying (id_a, id_b,
+    vec_a, vec_b): returns (id_a, id_b, cos_sim) for pairs with
+    rounded cosine ≥ threshold. ``impl='arrow'`` runs ONE numpy batch
+    op per Arrow batch; the expression twin evaluates the interpreted
+    F.aggregate HOF per pair (~9 µs/pair, BENCH.md r4) — same
+    6-decimal rounding on both paths."""
     if impl == "arrow":
-        # exact-cosine verify as one numpy batch op per Arrow batch —
-        # the join+fold twin below evaluates the interpreted
-        # F.aggregate HOF per pair (~9 µs/pair, BENCH.md r4); same
-        # 6-decimal rounding
         import numpy as np
         import pandas as pd
         from typing import Iterator
@@ -819,3 +825,52 @@ def embedding_near_dup_pairs(
     return j.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "expr",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication by k-means clustering + within-cluster exact cosine:
+    an item is DROPPED when its cosine to some LOWER-ID item in the
+    SAME cluster is ≥ threshold (the published implementations' upper-
+    triangular max rule, with id order as the index order, so the
+    survivor set is deterministic and engine-portable). Returns one
+    row per dropped item: (``id_col``, kept_id, max_cos) where
+    kept_id is the smallest colliding lower id and max_cos the
+    largest qualifying cosine.
+
+    100 TB plan shape: centroid assignment is NARROW (broadcast k×dims
+    constants in the expression impl; one numpy matmul per Arrow batch
+    in ``impl='arrow'`` — the production-dims config, see
+    ``_assign_lists_np``). The within-cluster self-join is equi on the
+    cluster id — the quadratic blowup is bounded by the cluster size,
+    which is the method's own contract: k MUST scale with the corpus
+    (SemDeDup uses ~100k clusters at web scale) so N/k stays ~10³–10⁴;
+    AQE skew-join splits residual hot clusters. The only corpus-wide
+    shuffles are that equi-join and the final 8-byte groupBy(id).
+    """
+    if impl == "arrow":
+        assigned = _assign_lists_np(
+            df, centroids, id_col=id_col, vec_col=vec_col, out_col="__c"
+        )
+    else:
+        assigned = df.select(id_col, vec_col).withColumn(
+            "__c", _nearest_centroid(F.col(vec_col), centroids)
+        )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__c"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "__c"
+    )
+    j = a.join(b, "__c").filter(F.col("id_a") < F.col("id_b"))
+    pairs = _pair_cosine_verify(j, threshold, impl)
+    return pairs.groupBy("id_b").agg(
+        F.min("id_a").alias("kept_id"), F.max("cos_sim").alias("max_cos")
+    ).select(F.col("id_b").alias(id_col), "kept_id", "max_cos")

@@ -34,6 +34,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR task scheduling: a validation run emits several
+        # independent outputs (verdicts, uniqueness, referential,
+        # null-rate, drift) submitted concurrently from driver
+        # threads. Under FIFO, every stage of the first-submitted big
+        # job holds all task slots until it drains, so the short
+        # cross-row jobs serialize BEHIND it and their fixed latency
+        # lands on the critical path. Measured on the 10.2M-row
+        # pipeline bench (best-of-4, BENCH.md r4 leg 4): at 2 cores
+        # FAIR 52.9 s vs FIFO 57.9 s (~9% — slot-starved is where
+        # interleaving pays); at 8 cores 14.6 vs 14.1 s (noise).
+        # NB this IMPROVES the low-parallelism level and therefore
+        # lowers the measured 2→8-core scaling ratio — accepted: the
+        # absolute wall-clock win at the contended level is the real
+        # cluster behavior, not the ratio. No effect on single-query
+        # runs. Env-overridable for A/B measurement.
+        .config(
+            "spark.scheduler.mode",
+            os.environ.get("SATYA_SPARK_SCHEDULER", "FAIR"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

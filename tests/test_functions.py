@@ -324,6 +324,29 @@ def _emb(spark, vecs):
     )
 
 
+def test_semantic_dedup_drop_rule(spark):
+    # two well-separated clusters; ids 0/1/4 near-collinear around
+    # x-axis, ids 2/3 around y-axis; 5 is an exact dup of 2
+    df = _emb(
+        spark,
+        [[1, 0.0], [0.99, 0.05], [0.0, 1], [0.05, 0.99], [0.98, 0.02],
+         [0.0, 1]],
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["vec_id"]: r for r in
+           sim.semantic_dedup(df, cents, threshold=0.99).collect()}
+    # lower id wins: 0 survives; 1 and 4 drop against 0; 3 and 5 drop
+    # against 2 (cross-cluster pairs never compared)
+    assert set(out) == {1, 3, 4, 5}
+    assert out[1]["kept_id"] == 0 and out[4]["kept_id"] == 0
+    assert out[3]["kept_id"] == 2 and out[5]["kept_id"] == 2
+    assert out[5]["max_cos"] == 1.0
+    # arrow path: identical drop set and winners
+    arrow = {r["vec_id"]: r["kept_id"] for r in
+             sim.semantic_dedup(df, cents, threshold=0.99, impl="arrow").collect()}
+    assert arrow == {k: v["kept_id"] for k, v in out.items()}
+
+
 def test_brute_force_topk(spark):
     corpus = _emb(spark, [[1, 0], [0.9, 0.1], [0, 1], [1, 0.05]])
     queries = corpus.filter("vec_id = 0").select(

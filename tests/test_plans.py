@@ -185,18 +185,26 @@ def test_text_queries_compute_stopword_hits_once(spark):
     sig = {
         l: "(" + "|".join(STOPWORDS[l][:3]) + "|" for l in ("en", "de", "fr", "es")
     }
-    # the docs fixture is a 3-branch Union — once per row means once
-    # per branch, i.e. count == the number of FileScans
+    # "once per row" structurally means: either once after the
+    # fixture's split-cap repartition exchange (1 occurrence), or —
+    # if Catalyst pushes the projection below the Union — once per
+    # branch (== FileScan count). Anything else (a multiple of
+    # either) is the duplicated-computation regression. AQE prints
+    # final + initial plans; pin the final plan only.
     plan_langid = _executed_plan(entrymod.queries()["text_langid"](spark, sf))
+    plan_langid = plan_langid.split("== Initial Plan ==")[0]
     branches = plan_langid.count("FileScan")
     assert branches >= 1
+    once = plan_langid.count(sig["en"])
+    assert once in (1, branches), (once, branches)
     for l, s in sig.items():
-        assert plan_langid.count(s) == branches, (l, plan_langid.count(s))
+        assert plan_langid.count(s) == once, (l, plan_langid.count(s))
 
     plan_stats = _executed_plan(entrymod.queries()["text_stats"](spark, sf))
+    plan_stats = plan_stats.split("== Initial Plan ==")[0]
     branches2 = plan_stats.count("FileScan")
     assert branches2 >= 1
-    assert plan_stats.count(sig["en"]) == branches2
+    assert plan_stats.count(sig["en"]) in (1, branches2)
     # column pruning drops the three unused languages' hit columns
     for l in ("de", "fr", "es"):
         assert plan_stats.count(sig[l]) == 0
@@ -310,3 +318,41 @@ def test_violations_filter_is_redundant_with_explode(spark, staged):
     )
     assert filtered.count() == unfiltered.count()
     assert filtered.exceptAll(unfiltered).count() == 0
+
+
+def test_ngram_lambdas_never_tokenize_per_element(spark):
+    """Regression pin for the decontam quadratic (BENCH.md r4 leg 3):
+    gram-building must never carry the tokenization expression
+    (regexp_replace/split) INSIDE a lambda body — Catalyst's
+    projection collapse will inline it there and every gram re-scans
+    the whole text, O(grams × text_len). The zip-of-shifted-slices
+    form keeps tokenization per-row (it may appear many times in the
+    collapsed plan — that is the linear worst case and is fine)."""
+    import re
+
+    from satya_spark.docfix import (
+        docs_from_testdata,
+        eval_suite_from_testdata,
+        gopher_docs_from_testdata,
+    )
+    from satya_spark.functions.decontam import contamination_report
+    from satya_spark.functions.dedup import minhash_signatures
+    from satya_spark.functions.gopher import gopher_ngram_repetition
+
+    sf = "/root/testdata/sf0.001"
+    docs = docs_from_testdata(spark, sf)
+    for df in (
+        contamination_report(docs, eval_suite_from_testdata(spark, sf)),
+        minhash_signatures(docs),
+        gopher_ngram_repetition(gopher_docs_from_testdata(spark, sf)),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(r"lambdafunction\(", plan):
+            i, depth = m.end(), 1
+            while depth and i < len(plan):
+                depth += {"(": 1, ")": -1}.get(plan[i], 0)
+                i += 1
+            span = plan[m.start():i]
+            assert "regexp_replace" not in span and "split(" not in span, (
+                "tokenization inlined into a per-element lambda:\n" + span[:500]
+            )
