@@ -238,6 +238,23 @@ def cmd_clean(args) -> int:
     spark = get_spark(app_name="satya-spark-clean")
     idc, txt = args.id_col, args.text_col
     df = spark.read.parquet(args.input)
+    if args.c4_lines:
+        # C4 line/page cleaning runs FIRST so every downstream signal
+        # (repetition, PII, gopher) sees the cleaned text; pages the
+        # C4 page rules drop keep their ORIGINAL text and surface in
+        # <output>/dropped with a 'c4_page' reason (auditable drop,
+        # same policy as --dedup)
+        from .functions.lines import clean_lines
+
+        cl = clean_lines(df, id_col=idc, text_col=txt).select(
+            F.col(idc), F.col("text_clean").alias("__text_clean")
+        )
+        df = (
+            df.join(cl, idc, "left")
+            .withColumn("__c4_page_dropped", F.col("__text_clean").isNull())
+            .withColumn(txt, F.coalesce("__text_clean", F.col(txt)))
+            .drop("__text_clean")
+        )
     sig = tx.with_repetition(df, text_col=txt, id_col=idc)
     d = df.join(sig, idc)
     d = with_pii(d, text_col=txt)
@@ -259,6 +276,22 @@ def cmd_clean(args) -> int:
             "repetitive",
         ),
     ]
+    if args.c4_lines:
+        reasons.append(_flag(F.col("__c4_page_dropped"), "c4_page"))
+    if args.gopher:
+        # Gopher Table-A1 batteries (functions/gopher.py): doc-local
+        # quality composite + within-doc n-gram repetition composite
+        from .functions.gopher import gopher_ngram_repetition, gopher_quality
+
+        gq = gopher_quality(d, text_col=txt, id_col=idc).select(
+            idc, "gopher_keep"
+        )
+        gr = gopher_ngram_repetition(d, text_col=txt, id_col=idc).select(
+            idc, "rep_keep"
+        )
+        d = d.join(gq, idc).join(gr, idc)
+        reasons.append(_flag(~F.col("gopher_keep"), "gopher_quality"))
+        reasons.append(_flag(~F.col("rep_keep"), "gopher_repetition"))
     if args.drop_pii:
         reasons.append(_flag(F.col("pii_types") > 0, "pii"))
     if args.decontam_against:
@@ -297,6 +330,7 @@ def cmd_clean(args) -> int:
         "n_tokens", "n_distinct", "ttr", "top_bigram_count",
         "top_bigram_frac", "pii_email", "pii_ssn", "pii_phone", "pii_ipv4",
         "pii_types", "text_redacted", "__contam",  # drop() ignores absents
+        "__c4_page_dropped", "gopher_keep", "rep_keep",
     ]
     kept = (
         d.filter(keep)
@@ -384,6 +418,20 @@ def main(argv=None) -> int:
         "--dedup",
         action="store_true",
         help="exact dedup on the normalized-text fingerprint (keep-first)",
+    )
+    c.add_argument(
+        "--c4-lines",
+        action="store_true",
+        help="C4 line/page cleaning first: per-line terminal-punct/"
+        "min-words/javascript filter rewrites the text; pages failing "
+        "the page rules drop with a 'c4_page' reason",
+    )
+    c.add_argument(
+        "--gopher",
+        action="store_true",
+        help="Gopher Table-A1 filters: quality-signal composite "
+        "('gopher_quality' reason) + n-gram repetition composite "
+        "('gopher_repetition' reason)",
     )
     c.add_argument(
         "--decontam-against",

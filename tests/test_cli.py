@@ -237,6 +237,61 @@ def test_cli_clean_decontam(spark, tmp_path):
     assert dropped == {1: ["contaminated"]}
 
 
+def test_cli_clean_c4_and_gopher(spark, tmp_path):
+    """clean --c4-lines --gopher: page-rule failures drop with
+    'c4_page' (original text preserved in dropped/), surviving pages
+    get the line-filtered text, and the Gopher composites add
+    'gopher_quality' / 'gopher_repetition' reasons computed on the
+    CLEANED text."""
+    import json as _json
+
+    from satya_spark.__main__ import main
+
+    body = "\n".join([
+        "the quick brown fox jumps over the lazy dog near the barn.",
+        "a farmer went out early to check on those wide green fields.",
+        "later that evening everyone gathered around with warm bread.",
+        "children played outside until the stars came up above town.",
+        "nobody wanted to leave because the music kept playing on.",
+    ])
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, body + "\nclick here"),  # junk line filtered, page survives
+        (2, "lorem ipsum dolor sit amet.\n" + body),  # page poison
+        # passes C4 but fails Gopher repetition: a 10-word sentence
+        # repeated — dup 5..10-gram char mass near 1.0
+        (3, "\n".join(
+            ["pack my box with five dozen liquor jugs right now ok."] * 6
+        )),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "clean", "--input", src, "--output", out,
+                "--min-tokens", "2", "--min-ttr", "0.0",
+                "--max-top-bigram", "1.0", "--c4-lines", "--gopher",
+            ]
+        )
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["rows_kept"] == 1
+    kept = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{out}/kept").collect()}
+    assert set(kept) == {1}
+    assert "click here" not in kept[1]  # line filter rewrote the text
+    dropped = {r["doc_id"]: (sorted(r["drop_reasons"]), r["text"]) for r in
+               spark.read.parquet(f"{out}/dropped").collect()}
+    assert dropped[2][0] == ["c4_page"]
+    assert "lorem ipsum" in dropped[2][1]  # original text preserved
+    assert "gopher_repetition" in dropped[3][0]
+
+
 def test_cli_validate_incremental(spark, tmp_path):
     """validate --file-manifest: second run over unchanged input
     validates zero files."""
