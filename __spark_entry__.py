@@ -1040,6 +1040,45 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_repetition(lines_docs_from_testdata(spark, sf_dir))
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition rollup (functions/mix.py): per
+    (lang, source) doc/token counts, mean quality, token share — one
+    map-side-combining groupBy; the share window runs over the rollup
+    rows only."""
+    from satya_spark.functions.mix import corpus_mix
+
+    return corpus_mix(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+MIX_FRACTIONS = {"en": 0.5, "de": 0.25}
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: md5-hash64 threshold
+    filter per stratum — reproducible across runs/engines/partition
+    layouts, zero shuffle."""
+    from satya_spark.functions.mix import stratified_sample
+
+    return stratified_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        MIX_FRACTIONS,
+        default=1.0,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing, shard-local (8 shards at
+    gate scale; the shard count is the scale knob bounding each
+    window sort to corpus/n_shards rows)."""
+    from satya_spark.functions.mix import pack_sequences
+
+    return pack_sequences(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        window_tokens=512,
+        n_shards=8,
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher Table-A1 doc-local quality signals (functions/gopher.py):
     word-count/mean-word-length bounds, hash+ellipsis symbol ratios,
@@ -1119,6 +1158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "line_repetition": q_line_repetition,
             "gopher_quality": q_gopher_quality,
             "gopher_ngrams": q_gopher_ngrams,
+            "corpus_mix": q_corpus_mix,
+            "mix_sample": q_mix_sample,
+            "pack_sequences": q_pack_sequences,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_minhash_tight": q_dedup_minhash_tight,
@@ -1712,6 +1754,15 @@ def _doc_oracles() -> dict[str, str]:
     WG = "WITH " + gopher_cte("duckdb") + "\n"
     o["gopher_quality"] = WG + gp.gopher_quality_sql("gopher_docs")
     o["gopher_ngrams"] = WG + gp.gopher_ngram_repetition_sql("gopher_docs")
+    from satya_spark.functions import mix as mx
+
+    o["corpus_mix"] = mx.corpus_mix_sql("documents")
+    o["mix_sample"] = mx.stratified_sample_sql(
+        "documents", MIX_FRACTIONS, default=1.0
+    )
+    o["pack_sequences"] = mx.pack_sequences_sql(
+        "documents", window_tokens=512, n_shards=8
+    )
     o["dedup_exact"] = W + (
         f", fps AS (SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs) "
         "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS canonical_id "
