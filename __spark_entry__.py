@@ -1040,6 +1040,17 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_repetition(lines_docs_from_testdata(spark, sf_dir))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span report (ExactSubstr signal, Lee et
+    al. 2021): one posexplode to 8-byte gram keys, groupBy(hash)
+    count ≥ 2, join-back, per-doc run merge. n=8 at gate scale
+    (production default 50 — the fixture's docs are short)."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import duplicated_spans
+
+    return duplicated_spans(docs_from_testdata(spark, sf_dir), n=8)
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix composition rollup (functions/mix.py): per
     (lang, source) doc/token counts, mean quality, token share — one
@@ -1161,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_mix": q_corpus_mix,
             "mix_sample": q_mix_sample,
             "pack_sequences": q_pack_sequences,
+            "dup_spans": q_dup_spans,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_minhash_tight": q_dedup_minhash_tight,
@@ -1763,6 +1775,9 @@ def _doc_oracles() -> dict[str, str]:
     o["pack_sequences"] = mx.pack_sequences_sql(
         "documents", window_tokens=512, n_shards=8
     )
+    from satya_spark.functions.dedup import duplicated_spans_sql
+
+    o["dup_spans"] = W + duplicated_spans_sql("docs", n=8, standalone=False)
     o["dedup_exact"] = W + (
         f", fps AS (SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs) "
         "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS canonical_id "

@@ -369,3 +369,130 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- corpus-wide duplicated spans (ExactSubstr-flavored) ------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "span",
+) -> DataFrame:
+    """Per-document report of corpus-wide duplicated token spans — the
+    signal behind exact-substring dedup (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better", §4.1 ExactSubstr, which removes repeated 50-token
+    substrings): a position's n-gram is DUPLICATED when the same
+    n-gram occurs anywhere else in the corpus (another doc or another
+    position of the same doc). Returns (id, n_grams, n_shared,
+    shared_frac, n_runs, max_run_len): how many gram positions are
+    duplicated, and the merged contiguous runs of them (the spans an
+    ExactSubstr pass would cut).
+
+    100 TB plan shape (a suffix array is the single-node answer; this
+    is the shuffle-native one): ONE posexplode of the corpus n-grams
+    projected to 8-byte md5 keys — the shuffle rows are (id, pos,
+    hash), ~24 bytes each, never the gram text; groupBy(hash) with
+    map-side combine finds grams with corpus count ≥ 2 (hot
+    boilerplate grams partial-aggregate before the wire); the hit set
+    joins back by the same 8-byte key; run-merging is the classic
+    pos − row_number() grouping inside a PER-DOC window (bounded by
+    doc length, never corpus-wide)."""
+    from .decontam import word_ngrams_from_tokens
+
+    toks = df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__t"))
+    pos = toks.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_from_tokens(F.col("__t"), n)).alias(
+            "pos", "g"
+        ),
+    ).select(id_col, "pos", portable_hash64(F.col("g"), seed).alias("h"))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    hits = pos.join(dup, "h").select(id_col, "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn(
+        "run", F.col("pos") - F.row_number().over(w)
+    ).groupBy(id_col, "run").agg(F.count(F.lit(1)).alias("rl"))
+    per_doc = runs.groupBy(id_col).agg(
+        F.sum("rl").alias("n_shared"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("rl").alias("max_run_len"),
+    )
+    base = toks.select(
+        id_col,
+        F.greatest(F.size("__t") - (n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+    )
+    ng = F.col("n_grams")
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        F.when(
+            ng > 0,
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / ng, 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("shared_frac"),
+        F.coalesce(F.col("n_runs"), F.lit(0)).cast("long").alias("n_runs"),
+        F.coalesce(F.col("max_run_len"), F.lit(0))
+        .cast("long")
+        .alias("max_run_len"),
+    )
+
+
+def duplicated_spans_sql(
+    table: str,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "span",
+    *,
+    standalone: bool = True,
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans` (0-based positions via
+    range; same md5-derived keys and run-merge rule).
+    ``standalone=False`` emits a leading ``,`` so the CTEs chain onto
+    an existing WITH clause (the docs fixture's)."""
+    from .text import tokens_ws_sql
+
+    t = tokens_ws_sql(text_col)
+    gram = f"array_to_string(list_slice(t, i + 1, i + {n}), ' ')"
+    return (
+        ("WITH " if standalone else ", ")
+        + f"__toks AS (SELECT {id_col}, {t} AS t FROM {table}), "
+        f"__pos AS (SELECT {id_col}, CAST(i AS INT) AS pos, "
+        f"{portable_hash64_sql(gram, seed)} AS h "
+        f"FROM __toks, unnest(range(0, greatest(len(t) - {n} + 1, 0)))"
+        " AS u(i)), "
+        "__dup AS (SELECT h FROM __pos GROUP BY h HAVING count(*) >= 2), "
+        f"__hits AS (SELECT {id_col}, pos FROM __pos JOIN __dup USING (h)), "
+        f"__runs AS (SELECT {id_col}, pos - row_number()"
+        f" OVER (PARTITION BY {id_col} ORDER BY pos) AS run"
+        " FROM __hits), "
+        f"__rl AS (SELECT {id_col}, run, count(*) AS rl FROM __runs"
+        " GROUP BY 1, 2), "
+        f"__per AS (SELECT {id_col}, sum(rl) AS n_shared, count(*) AS n_runs,"
+        f" max(rl) AS max_run_len FROM __rl GROUP BY 1) "
+        f"SELECT b.{id_col}, b.n_grams,"
+        " CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,"
+        " CASE WHEN b.n_grams > 0 THEN"
+        " round(CAST(coalesce(p.n_shared, 0) AS DOUBLE) / b.n_grams, 6)"
+        " ELSE 0.0 END AS shared_frac,"
+        " CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,"
+        " CAST(coalesce(p.max_run_len, 0) AS BIGINT) AS max_run_len"
+        f" FROM (SELECT {id_col}, CAST(greatest(len(t) - {n} + 1, 0)"
+        " AS BIGINT) AS n_grams FROM __toks) b"
+        f" LEFT JOIN __per p USING ({id_col})"
+    )

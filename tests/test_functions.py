@@ -324,6 +324,31 @@ def _emb(spark, vecs):
     )
 
 
+def test_duplicated_spans_hand_computed(spark):
+    from satya_spark.functions.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 x4 x5 x6"),       # shares "x2 x3 x4" with 2
+            (2, "y1 x2 x3 x4 y5"),
+            (3, "a b c a b c a b"),          # self-repeating: all 6 grams dup
+            (4, "u1 u2 u3 u4 u5"),           # nothing duplicated
+            (5, "t1 t2"),                    # shorter than n -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_spans(df, n=3).collect()}
+    assert (out[1]["n_grams"], out[1]["n_shared"], out[1]["n_runs"],
+            out[1]["max_run_len"]) == (4, 1, 1, 1)
+    assert out[2]["n_shared"] == 1 and out[2]["shared_frac"] == round(1 / 3, 6)
+    # doc 3: abc/bca/cab each occur twice -> every position duplicated,
+    # one contiguous run of 6
+    assert (out[3]["n_shared"], out[3]["n_runs"], out[3]["max_run_len"],
+            out[3]["shared_frac"]) == (6, 1, 6, 1.0)
+    assert out[4]["n_shared"] == 0 and out[4]["shared_frac"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["shared_frac"] == 0.0
+
+
 def test_semantic_dedup_drop_rule(spark):
     # two well-separated clusters; ids 0/1/4 near-collinear around
     # x-axis, ids 2/3 around y-axis; 5 is an exact dup of 2
