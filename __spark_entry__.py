@@ -1040,6 +1040,18 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_repetition(lines_docs_from_testdata(spark, sf_dir))
 
 
+def q_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier application (functions/classify.py):
+    exploded corpus tokens × BROADCAST (token, weight) model → one
+    map-side-combining groupBy(id); reported score is the rounded
+    mean logit (monotone in the sigmoid). The model here is the
+    deterministic md5 stand-in over the corpus vocabulary."""
+    from satya_spark.functions.classify import classifier_score, hash_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return classifier_score(docs, hash_weights(docs))
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-span report (ExactSubstr signal, Lee et
     al. 2021): one posexplode to 8-byte gram keys, groupBy(hash)
@@ -1173,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mix_sample": q_mix_sample,
             "pack_sequences": q_pack_sequences,
             "dup_spans": q_dup_spans,
+            "clf_score": q_clf_score,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_minhash_tight": q_dedup_minhash_tight,
@@ -1774,6 +1787,12 @@ def _doc_oracles() -> dict[str, str]:
     )
     o["pack_sequences"] = mx.pack_sequences_sql(
         "documents", window_tokens=512, n_shards=8
+    )
+    from satya_spark.functions import classify as cf
+
+    o["clf_score"] = (
+        "WITH __w AS (" + cf.hash_weights_sql("documents") + ")\n"
+        + cf.classifier_score_sql("documents", "__w")
     )
     from satya_spark.functions.dedup import duplicated_spans_sql
 

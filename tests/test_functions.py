@@ -324,6 +324,32 @@ def _emb(spark, vecs):
     )
 
 
+def test_classifier_score_hand_computed(spark):
+    from satya_spark.functions.classify import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad"), (3, ""), (4, "unseen words")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [("good", 2.0), ("bad", -3.0)], "token string, weight double"
+    )
+    out = {r["doc_id"]: r for r in
+           classifier_score(docs, w, bias=0.5, threshold=0.0).collect()}
+    # doc 1: (2 + 2 - 3)/3 + 0.5
+    assert out[1]["logit"] == round(1 / 3 + 0.5, 6) and out[1]["clf_keep"]
+    assert out[2]["logit"] == -2.5 and not out[2]["clf_keep"]
+    # empty doc scores bias alone; unseen tokens contribute 0
+    assert out[3]["n_tokens"] == 0 and out[3]["logit"] == 0.5
+    assert out[4]["logit"] == 0.5
+    # the model side must be a broadcast join, never a shuffle join
+    plan = (
+        classifier_score(docs, w)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_duplicated_spans_hand_computed(spark):
     from satya_spark.functions.dedup import duplicated_spans
 
