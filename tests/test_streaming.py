@@ -221,3 +221,79 @@ def test_run_stream_split_quarantine(spark, tmp_path):
     run_stream_split(ann2, out, ck).awaitTermination(120)
     assert read_split(spark, out, "clean").count() == 2
     assert read_split(spark, out, "quarantine").count() == 2
+
+
+def test_stream_hygiene_doc_local_ops(spark, tmp_path):
+    """The doc-local hygiene battery (C4 clean_lines, gopher_quality,
+    classifier_score-with-broadcast) is ZERO-shuffle by construction,
+    so it composes directly with readStream — clean-on-ingest without
+    a batch re-pass. Streams a parquet doc feed through all three and
+    checks the sink against the batch run of the same input."""
+    from satya_spark.functions.classify import classifier_score
+    from satya_spark.functions.gopher import gopher_quality
+    from satya_spark.functions.lines import clean_lines
+
+    indir = str(tmp_path / "docs_in")
+    good = "\n".join([
+        "the quick brown fox jumps over the lazy dog near that barn.",
+        "a farmer went out early to check on those wide green fields.",
+        "later that evening everyone gathered around with warm bread.",
+        "children played outside until the stars came up above town.",
+        "nobody wanted to leave because the music kept playing on it.",
+    ])
+    rows = [
+        (1, good),
+        (2, "lorem ipsum dolor sit amet."),   # C4 page poison
+        (3, good + "\nclick here"),            # junk line filtered
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_df.write.parquet(indir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(indir)
+    assert stream.isStreaming
+    cleaned = clean_lines(stream)            # narrow: streams as-is
+    quality = gopher_quality(stream)         # narrow: streams as-is
+    out_c = str(tmp_path / "cleaned")
+    out_q = str(tmp_path / "quality")
+    for df, path, name in ((cleaned, out_c, "c"), (quality, out_q, "q")):
+        (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+    got_c = {r["doc_id"]: r["text_clean"]
+             for r in spark.read.parquet(out_c).collect()}
+    want_c = {r["doc_id"]: r["text_clean"]
+              for r in clean_lines(batch_df).collect()}
+    assert got_c == want_c and set(got_c) == {1, 3}
+    got_q = {r["doc_id"]: r["gopher_keep"]
+             for r in spark.read.parquet(out_q).collect()}
+    assert got_q == {r["doc_id"]: r["gopher_keep"]
+                     for r in gopher_quality(batch_df).collect()}
+
+    # classifier: the per-doc groupBy makes it a streaming aggregation
+    # (append mode rejects it without a watermark), so the streaming
+    # form is foreachBatch — score each micro-batch as a batch frame
+    # against the broadcast model, the standard clean-on-ingest shape
+    w = spark.createDataFrame(
+        [("fox", 5.0), ("lorem", -5.0)], "token string, weight double"
+    )
+    out_s = str(tmp_path / "scored")
+    (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: classifier_score(bdf, w)
+            .write.mode("append")
+            .parquet(out_s)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got_s = {r["doc_id"]: r["logit"]
+             for r in spark.read.parquet(out_s).collect()}
+    assert got_s == {r["doc_id"]: r["logit"]
+                     for r in classifier_score(batch_df, w).collect()}
