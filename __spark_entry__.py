@@ -1040,6 +1040,17 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_repetition(lines_docs_from_testdata(spark, sf_dir))
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span removal (dedup.remove_duplicated_spans):
+    first occurrence of each duplicated n-gram survives, every other
+    occurrence's token span is cut; rebuilt text + removal counts per
+    doc. n=8 at gate scale (production default 50)."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(docs_from_testdata(spark, sf_dir), n=8)
+
+
 def q_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier application (functions/classify.py):
     exploded corpus tokens × BROADCAST (token, weight) model → one
@@ -1185,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mix_sample": q_mix_sample,
             "pack_sequences": q_pack_sequences,
             "dup_spans": q_dup_spans,
+            "dup_span_removal": q_dup_span_removal,
             "clf_score": q_clf_score,
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
@@ -1797,6 +1809,11 @@ def _doc_oracles() -> dict[str, str]:
     from satya_spark.functions.dedup import duplicated_spans_sql
 
     o["dup_spans"] = W + duplicated_spans_sql("docs", n=8, standalone=False)
+    from satya_spark.functions.dedup import remove_duplicated_spans_sql
+
+    o["dup_span_removal"] = W + remove_duplicated_spans_sql(
+        "docs", n=8, standalone=False
+    )
     o["dedup_exact"] = W + (
         f", fps AS (SELECT doc_id, {tx.fingerprint_sql('text')} AS fp FROM docs) "
         "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS canonical_id "

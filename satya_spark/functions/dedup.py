@@ -496,3 +496,133 @@ def duplicated_spans_sql(
         " AS BIGINT) AS n_grams FROM __toks) b"
         f" LEFT JOIN __per p USING ({id_col})"
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "span",
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (the cut that
+    :func:`duplicated_spans` reports): for every n-gram occurring ≥ 2
+    times corpus-wide, the FIRST occurrence in (id, pos) order
+    survives and every other occurrence's n token positions are cut
+    from their documents. Returns (id, n_tokens, n_removed,
+    text_dedup) for every input document — a fully-duplicated doc
+    keeps the row with empty ``text_dedup``.
+
+    Semantics notes (pinned, matching the published practice of
+    cutting duplicated byte ranges): overlapping losing spans merge
+    (a token cut once is cut once), and a winning occurrence's tokens
+    CAN still be cut when a DIFFERENT losing span overlaps them — the
+    guarantee is that every removed token sat inside some duplicated
+    span whose first occurrence survives. The rebuilt text is in
+    normalized token space (lowercase, single-spaced — the same
+    canonical form span identity is computed on).
+
+    Shape: the same 8-byte-key explode/groupBy as duplicated_spans
+    (winner = ``min(struct(id, pos))`` with map-side combine — never
+    a corpus-wide window over hash partitions, hot boilerplate grams
+    would serialize onto one task); covered token indices explode n
+    rows per LOSING occurrence only; the rebuild is one
+    ``groupBy(id)`` of (idx, token) structs sorted per doc."""
+    from .decontam import word_ngrams_from_tokens
+
+    toks = df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__t"))
+    pos = toks.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_from_tokens(F.col("__t"), n)).alias(
+            "pos", "g"
+        ),
+    ).select(id_col, "pos", portable_hash64(F.col("g"), seed).alias("h"))
+    winners = (
+        pos.groupBy("h")
+        .agg(
+            F.min(F.struct(id_col, "pos")).alias("__w"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .filter(F.col("__c") >= 2)
+        .select("h", "__w")
+    )
+    losers = pos.join(winners, "h").filter(
+        (F.col(id_col) != F.col("__w")[id_col])
+        | (F.col("pos") != F.col("__w")["pos"])
+    )
+    covered = losers.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+            "ti"
+        ),
+    ).distinct()
+    tok_rows = toks.select(
+        F.col(id_col), F.posexplode(F.col("__t")).alias("ti", "tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "ti"], "left_anti")
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+            lambda s: s["tok"],
+        ),
+        " ",
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"), rebuilt.alias("text_dedup")
+    )
+    base = toks.select(
+        id_col, F.size("__t").cast("long").alias("n_tokens")
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )
+
+
+def remove_duplicated_spans_sql(
+    table: str,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "span",
+    *,
+    standalone: bool = True,
+) -> str:
+    """DuckDB twin of :func:`remove_duplicated_spans` (row_number over
+    (h ORDER BY id, pos) ≡ Spark's min(struct) winner; the 0-based
+    token index comes from a range unnest + list subscript — this
+    DuckDB build lacks WITH ORDINALITY)."""
+    from .text import tokens_ws_sql
+
+    t = tokens_ws_sql(text_col)
+    gram = f"array_to_string(list_slice(t, i + 1, i + {n}), ' ')"
+    return (
+        ("WITH " if standalone else ", ")
+        + f"__rtoks AS (SELECT {id_col}, {t} AS t FROM {table}), "
+        f"__rpos AS (SELECT {id_col}, CAST(i AS INT) AS pos, "
+        f"{portable_hash64_sql(gram, seed)} AS h "
+        f"FROM __rtoks, unnest(range(0, greatest(len(t) - {n} + 1, 0)))"
+        " AS u(i)), "
+        f"__rlose AS (SELECT {id_col}, pos FROM ("
+        f"SELECT {id_col}, pos,"
+        f" row_number() OVER (PARTITION BY h ORDER BY {id_col}, pos) AS rn,"
+        " count(*) OVER (PARTITION BY h) AS c FROM __rpos)"
+        " WHERE c >= 2 AND rn > 1), "
+        f"__rcov AS (SELECT DISTINCT {id_col}, CAST(j AS INT) AS ti"
+        f" FROM __rlose, unnest(range(pos, pos + {n})) AS v(j)), "
+        f"__rtok AS (SELECT {id_col}, CAST(i AS INT) AS ti, t[i + 1] AS tok"
+        " FROM __rtoks, unnest(range(0, len(t))) AS w(i)), "
+        f"__rkept AS (SELECT k.{id_col}, k.ti, k.tok FROM __rtok k"
+        f" ANTI JOIN __rcov c USING ({id_col}, ti)), "
+        f"__ragg AS (SELECT {id_col}, count(*) AS n_kept,"
+        " string_agg(tok, ' ' ORDER BY ti) AS text_dedup FROM __rkept"
+        " GROUP BY 1) "
+        f"SELECT b.{id_col}, CAST(len(b.t) AS BIGINT) AS n_tokens,"
+        " CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,"
+        " coalesce(a.text_dedup, '') AS text_dedup"
+        f" FROM __rtoks b LEFT JOIN __ragg a USING ({id_col})"
+    )

@@ -324,6 +324,28 @@ def _emb(spark, vecs):
     )
 
 
+def test_remove_duplicated_spans_hand_computed(spark):
+    from satya_spark.functions.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 x4 x5"),      # first occurrence: survives whole
+            (2, "a1 x2 x3 x4 a5"),      # loses the shared 3-gram span
+            (3, "a b c a b c a b"),      # self-repeat: 2nd+ spans cut
+            (4, "u1 u2 u3 u4"),          # untouched
+            (5, "x1 x2 x3 x4 x5"),      # exact dup of 1: fully removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=3).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_dedup"] == "x1 x2 x3 x4 x5"
+    assert out[2]["n_removed"] == 3 and out[2]["text_dedup"] == "a1 a5"
+    # winners at pos 0/1/2 keep tokens 0..2; losing spans cover 3..7
+    assert out[3]["n_removed"] == 5 and out[3]["text_dedup"] == "a b c"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["n_removed"] == 5 and out[5]["text_dedup"] == ""
+
+
 def test_classifier_score_hand_computed(spark):
     from satya_spark.functions.classify import classifier_score
 
