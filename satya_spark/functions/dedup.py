@@ -626,3 +626,61 @@ def remove_duplicated_spans_sql(
         " coalesce(a.text_dedup, '') AS text_dedup"
         f" FROM __rtoks b LEFT JOIN __ragg a USING ({id_col})"
     )
+
+
+def incremental_exact_dedup(
+    df: DataFrame,
+    store_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Append-only incremental exact dedup — the daily-drop operating
+    shape (same pattern as the validate CLI's file manifest): a
+    persisted parquet STORE holds the fingerprint of every text ever
+    kept; each new batch drops rows whose fingerprint is already in
+    the store (cross-batch dups) or claimed by a smaller id in the
+    same batch (within-batch dups), writes survivors to ``out_path``,
+    and appends exactly the survivors' fingerprints to the store.
+
+    Returns {"rows_in", "rows_kept", "dropped_in_batch",
+    "dropped_vs_store"}.
+
+    Scale shape: the join key is the 32-char md5 fingerprint — the
+    store side is read as plain parquet so at 10^11 docs the anti-join
+    is a fingerprint-only shuffle (16-byte keys), and bucketing the
+    store by ``fp`` (io.write_bucketed) upgrades it to a co-located
+    join. The store append is the survivors' fingerprints only —
+    O(batch), never a rewrite of history. NOT DuckDB-oracle-able (the
+    store is mutable state across calls); covered by batch-sequence
+    tests instead."""
+    spark = df.sparkSession
+    fps = df.withColumn("fp", fingerprint(F.col(text_col)))
+    winners = fps.groupBy("fp").agg(F.min(id_col).alias("__w"))
+    batch_kept = fps.join(winners, "fp").filter(F.col(id_col) == F.col("__w"))
+    try:
+        store = spark.read.parquet(store_path).select("fp")
+        seen_store = True
+    except Exception:  # first batch: no store yet
+        store = None
+        seen_store = False
+    kept = (
+        batch_kept.join(store, "fp", "left_anti") if seen_store else batch_kept
+    )
+    # sever lineage before touching the store: `kept` is lazy and its
+    # plan READS store_path — appending to the store and then running
+    # another action would re-execute the anti-join against the
+    # mutated store (reading a directory being appended to is also a
+    # listing race). localCheckpoint materializes the survivors once.
+    kept = kept.localCheckpoint(eager=True)
+    kept.drop("__w").write.mode("append").parquet(out_path)
+    n_in = df.count()
+    n_batch_kept = batch_kept.count()
+    n_kept = kept.count()
+    kept.select("fp").write.mode("append").parquet(store_path)
+    return {
+        "rows_in": n_in,
+        "rows_kept": n_kept,
+        "dropped_in_batch": n_in - n_batch_kept,
+        "dropped_vs_store": n_batch_kept - n_kept,
+    }

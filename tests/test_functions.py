@@ -324,6 +324,34 @@ def _emb(spark, vecs):
     )
 
 
+def test_incremental_exact_dedup_batches(spark, tmp_path):
+    from satya_spark.functions.dedup import incremental_exact_dedup
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    s1 = incremental_exact_dedup(b1, store, out)
+    assert s1 == {"rows_in": 3, "rows_kept": 2,
+                  "dropped_in_batch": 1, "dropped_vs_store": 0}
+    b2 = spark.createDataFrame(
+        [(4, "gamma delta"), (5, "epsilon zeta"), (6, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    s2 = incremental_exact_dedup(b2, store, out)
+    # 4 dups batch 1's doc 2 (store hit); 6 dups 5 (within batch)
+    assert s2 == {"rows_in": 3, "rows_kept": 1,
+                  "dropped_in_batch": 1, "dropped_vs_store": 1}
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept_ids == {1, 2, 5}
+    # idempotence: replaying batch 2 keeps nothing new
+    s3 = incremental_exact_dedup(b2, store, out)
+    assert s3["rows_kept"] == 0
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 5}
+
+
 def test_remove_duplicated_spans_hand_computed(spark):
     from satya_spark.functions.dedup import remove_duplicated_spans
 
