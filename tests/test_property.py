@@ -770,3 +770,53 @@ def test_dotted_decorator_two_path_parity(spark, f, mode, tname, rname, values):
         assert errs_s == errs_b, f"verdicts for {v!r}: {errs_s} vs {errs_b}; {cfg}"
         if ok_s:
             assert val_s == val_b, f"value for {v!r}: {val_s!r} vs {val_b!r}; {cfg}"
+
+
+# --- duplicated-span removal vs a pure-Python oracle ----------------------
+
+_span_corpus = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_remove_spans(docs: list, n: int) -> dict:
+    """Pure-Python ExactSubstr-removal oracle: winner per gram =
+    lexicographically smallest (id, pos); losing occurrences cover
+    their n token positions."""
+    occ = []
+    for i, toks in enumerate(docs):
+        for p in range(max(len(toks) - n + 1, 0)):
+            occ.append((i, p, tuple(toks[p : p + n])))
+    from collections import Counter, defaultdict
+
+    cnt = Counter(g for _, _, g in occ)
+    winner: dict = {}
+    for i, p, g in sorted(occ):
+        winner.setdefault(g, (i, p))
+    covered = defaultdict(set)
+    for i, p, g in occ:
+        if cnt[g] >= 2 and winner[g] != (i, p):
+            covered[i].update(range(p, p + n))
+    out = {}
+    for i, toks in enumerate(docs):
+        kept = [t for j, t in enumerate(toks) if j not in covered[i]]
+        out[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_span_corpus)
+def test_remove_duplicated_spans_matches_python_oracle(spark, docs):
+    from satya_spark.functions.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in remove_duplicated_spans(df, n=3).collect()
+    }
+    assert got == _py_remove_spans(docs, 3)
