@@ -87,6 +87,7 @@ DEDUP_HEADLINE = [
     "gopher_ngrams",
     "dedup_semantic_arrow",  # SemDeDup, numpy assign+verify (r4)
     "dup_spans",  # corpus-wide duplicated-span report (r4)
+    "dup_span_removal",  # ExactSubstr cut + text rebuild (r4)
     "clf_score",  # broadcast-join linear classifier application (r4)
     "corpus_mix",  # training-mix rollup (r4)
     "pack_sequences",  # shard-local sequence packing (r4)

@@ -82,6 +82,7 @@ def cmd_validate(args) -> int:
 
     from .coerce import spark_type
     from .engine import ValidationEngine
+    from .io import read_ref
     from .session import get_spark
     from .sources.json_source import read_ndjson
 
@@ -99,7 +100,9 @@ def cmd_validate(args) -> int:
         return 0 if summary["passed"] else 3
 
     if args.format == "parquet":
-        df = spark.read.parquet(args.input)
+        # read_ref: parquet path in the sandbox, Iceberg/catalog table
+        # ref on a deployment with the runtime jar (io.iceberg_configs)
+        df = read_ref(spark, args.input)
     else:
         from pyspark.sql import types as T
 
@@ -169,6 +172,7 @@ def cmd_triage(args) -> int:
 
     from .crossrow import top_violating_groups, violations_sample
     from .drift import psi_by_group
+    from .io import read_ref
     from .session import get_spark
 
     spark = get_spark(app_name="satya-spark-triage")
@@ -177,7 +181,7 @@ def cmd_triage(args) -> int:
     from .engine import ValidationEngine
 
     eng = ValidationEngine(spec)
-    df = spark.read.parquet(args.input)
+    df = read_ref(spark, args.input)
     keys = list(spec.unique_key or (spec.fields[0].name,))
     viol = eng.violations(df)
 
@@ -233,11 +237,12 @@ def cmd_clean(args) -> int:
 
     from .functions import text as tx
     from .functions.pii import with_pii
+    from .io import read_ref
     from .session import get_spark
 
     spark = get_spark(app_name="satya-spark-clean")
     idc, txt = args.id_col, args.text_col
-    df = spark.read.parquet(args.input)
+    df = read_ref(spark, args.input)
     if args.c4_lines:
         # C4 line/page cleaning runs FIRST so every downstream signal
         # (repetition, PII, gopher) sees the cleaned text; pages the

@@ -54,3 +54,71 @@ def read_split(
         raise ValueError(f"side must be 'clean' or 'quarantine', got {side!r}")
     df = spark.read.format(fmt).load(path)
     return df.filter(df["valid"] == (side == "clean"))
+
+
+# --- Iceberg (the north rule's named deployment target) -------------------
+
+ICEBERG_EXTENSION = (
+    "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+)
+ICEBERG_CATALOG_IMPL = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_configs(catalog: str, warehouse: str) -> dict:
+    """The session configs that turn a SparkSession into an Iceberg
+    writer/reader (hadoop-type catalog; swap ``type`` for hive/rest in
+    a real deployment). Returned as a dict so callers can thread them
+    into ``spark-submit --conf`` or a builder — the sandbox image has
+    no iceberg-spark-runtime jar, so get_spark does NOT set these by
+    default."""
+    return {
+        "spark.sql.extensions": ICEBERG_EXTENSION,
+        f"spark.sql.catalog.{catalog}": ICEBERG_CATALOG_IMPL,
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def have_iceberg(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime jar is on the session's
+    classpath (capability probe, not a config check)."""
+    try:
+        spark._jvm.java.lang.Class.forName(ICEBERG_CATALOG_IMPL)
+        return True
+    except Exception:
+        return False
+
+
+def read_ref(spark: SparkSession, ref: str) -> DataFrame:
+    """Read a table reference of any supported kind: an Iceberg /
+    catalog table name (``catalog.db.table``, requires the runtime
+    jar), a managed table name, or a parquet path. This is the single
+    input seam the CLI and engine use, so a deployment with Iceberg
+    jars switches by passing a table ref instead of a path — no code
+    change."""
+    if ref.endswith(".parquet") or "/" in ref:
+        return spark.read.parquet(ref)
+    return spark.table(ref)
+
+
+def write_ref(
+    df: DataFrame, ref: str, mode: str = "append", fmt: str = "iceberg"
+) -> None:
+    """Write to an Iceberg table ref when the runtime is present,
+    else to a parquet path (the sandbox stand-in). Iceberg writes are
+    the atomic-snapshot half of the checkpoint-resume story: the
+    manifest's (file, snapshot) lineage keys map 1:1 onto Iceberg's
+    snapshot ids."""
+    if ref.endswith(".parquet") or "/" in ref:
+        df.write.mode(mode).parquet(ref)
+        return
+    if not have_iceberg(df.sparkSession):
+        raise RuntimeError(
+            "Iceberg runtime jar not on the classpath; pass a parquet"
+            " path, or launch with iceberg_configs(...) +"
+            " --packages org.apache.iceberg:iceberg-spark-runtime"
+        )
+    if mode == "overwrite":
+        df.writeTo(ref).using(fmt).createOrReplace()
+    else:
+        df.writeTo(ref).append()

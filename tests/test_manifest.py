@@ -273,3 +273,25 @@ def test_run_incremental_spec_scoped(spark, tmp_path):
     r3 = e2.run_incremental(spark, inp, mpath)
     assert r3["files_validated"] == r1["files_validated"]  # re-validated
     assert r3["passed"] is False  # min_length=100 fails everywhere
+
+
+def test_iceberg_seam(spark, tmp_path):
+    """Sandbox has no iceberg-spark-runtime jar: the capability probe
+    must say so, parquet refs must flow through the same seam, and a
+    table-ref write must fail with the actionable message instead of
+    a Java classpath stack."""
+    import pytest
+
+    from satya_spark.io import have_iceberg, iceberg_configs, read_ref, write_ref
+
+    assert have_iceberg(spark) is False
+    cfg = iceberg_configs("lake", "/tmp/warehouse")
+    assert cfg["spark.sql.catalog.lake.warehouse"] == "/tmp/warehouse"
+    assert "IcebergSparkSessionExtensions" in cfg["spark.sql.extensions"]
+
+    df = spark.range(5).withColumnRenamed("id", "conv_id")
+    p = str(tmp_path / "t.parquet")
+    write_ref(df, p, mode="overwrite")
+    assert read_ref(spark, p).count() == 5
+    with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+        write_ref(df, "lake.db.transcripts")
