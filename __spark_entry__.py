@@ -200,6 +200,21 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_stats(from_tpch(spark, sf_dir))
 
 
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate CONVERSATIONS (crossrow.conv_dup_groups): md5
+    fingerprint over turn texts in stable turn order — document dedup
+    lifted to the transcript payload. Planted dups: every conversation
+    whose md5-hash64 ≡ 0 (mod 23) is replayed under a '_dup' id."""
+    from satya_spark.crossrow import conv_dup_groups
+    from satya_spark.functions.dedup import portable_hash64
+
+    t = from_tpch(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    dup = t.filter(
+        F.pmod(portable_hash64(F.col("conv_id"), "cd"), F.lit(23)) == 0
+    ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_dup")))
+    return conv_dup_groups(t.unionByName(dup))
+
+
 def q_null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-level null-rate: per-field null fraction vs threshold."""
     df = from_tpch(spark, sf_dir)
@@ -1166,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "referential": q_referential,
             "column_stats": q_column_stats,
             "conv_stats": q_conv_stats,
+            "conv_dedup": q_conv_dedup,
             "conv_structure": q_conv_structure,
             "null_rate": q_null_rate,
             "drift_psi": q_drift_psi,
@@ -1290,6 +1306,20 @@ def oracle_sql() -> dict[str, str]:
         "round(CAST(sum(coalesce(length(text), 0)) AS DOUBLE) / count(*), 4)"
         " AS avg_text_len "
         "FROM transcripts GROUP BY conv_id"
+    )
+    from satya_spark.functions.dedup import portable_hash64_sql as _ph
+
+    out["conv_dedup"] = _duck(
+        ", aug AS (SELECT conv_id, turn_idx, text FROM transcripts"
+        " UNION ALL SELECT conv_id || '_dup' AS conv_id, turn_idx, text"
+        f" FROM transcripts WHERE {_ph('conv_id', 'cd')} % 23 = 0), "
+        "fps AS (SELECT conv_id,"
+        " md5(string_agg(text, chr(30) ORDER BY turn_idx, text)) AS conv_fp,"
+        " count(*) AS n_turns FROM aug GROUP BY conv_id) "
+        "SELECT conv_fp, CAST(count(*) AS BIGINT) AS n_convs,"
+        " min(conv_id) AS canonical_conv,"
+        " CAST(max(n_turns) AS BIGINT) AS n_turns"
+        " FROM fps GROUP BY conv_fp HAVING count(*) > 1"
     )
     out["null_rate"] = _duck(
         "SELECT "

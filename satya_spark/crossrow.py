@@ -427,3 +427,49 @@ def quantile_drift(
         )
         cols.append(f"{c}_delta")
     return out.select(*cols)
+
+
+def conv_fingerprints(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level content fingerprint: md5 over the turn
+    texts in stable (turn_idx, text) order, unit-separator-joined —
+    the per-turn-text-equality invariant (north rule) collapsed to
+    one comparable value per conversation. NULL turn texts are
+    skipped by the join on BOTH engines (concat_ws / string_agg), so
+    a null turn equals a missing one — documented collision, fine
+    for dedup. One groupBy(conv_col); conversations are bounded, so
+    the collect_list is bounded (contrast corpus-wide collect)."""
+    texts = F.transform(
+        F.array_sort(F.collect_list(F.struct(order_col, text_col))),
+        lambda s: s[text_col],
+    )
+    return df.groupBy(conv_col).agg(
+        F.md5(F.concat_ws("\x1e", texts)).alias("conv_fp"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def conv_dup_groups(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-duplicate conversations (identical turn-text sequences):
+    (conv_fp, n_convs, canonical id = min conv id, n_turns) for every
+    duplicated fingerprint — exact_dup_groups at conversation
+    granularity, the transcript-payload analog of document dedup."""
+    fps = conv_fingerprints(df, conv_col, order_col, text_col)
+    return (
+        fps.groupBy("conv_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min(conv_col).alias("canonical_conv"),
+            F.max("n_turns").alias("n_turns"),
+        )
+        .filter(F.col("n_convs") > 1)
+    )

@@ -206,3 +206,26 @@ def test_quantile_drift(spark):
     assert row["q50_delta"] == 10.0
     assert row["q25_delta"] == 10.0
     assert row["q75_old"] + 10.0 == row["q75_new"]
+
+
+def test_conv_dedup_fingerprints(spark):
+    """Identical turn-text SEQUENCES collide regardless of row order;
+    different order of the same texts (different turn_idx assignment)
+    does not; null turn text equals a missing turn (documented)."""
+    from satya_spark.crossrow import conv_dup_groups, conv_fingerprints
+
+    rows = [
+        ("a", 0, "hi"), ("a", 1, "there"),
+        ("b", 1, "there"), ("b", 0, "hi"),          # same sequence, shuffled rows
+        ("c", 0, "there"), ("c", 1, "hi"),          # same texts, swapped order
+        ("d", 0, "hi"), ("d", 1, None), ("d", 2, "there"),  # null turn
+        ("e", 0, "hi"), ("e", 1, "there"), ("e", 2, "there"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    fp = {r["conv_id"]: r["conv_fp"] for r in conv_fingerprints(df).collect()}
+    assert fp["a"] == fp["b"] != fp["c"]
+    assert fp["a"] == fp["d"]  # null turn skipped by the separator join
+    assert fp["a"] != fp["e"]
+    groups = {r["conv_fp"]: r for r in conv_dup_groups(df).collect()}
+    g = groups[fp["a"]]
+    assert g["n_convs"] == 3 and g["canonical_conv"] == "a"
