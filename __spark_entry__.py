@@ -215,6 +215,34 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_dup_groups(t.unionByName(dup))
 
 
+def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate conversations: each conversation flattened to
+    one space-joined turn-ordered text, then the standard MinHash-LSH
+    near-dup pipeline (banded buckets + exact-Jaccard verify) over
+    conversation ids — the transcript-payload composition of the
+    dedup tier. The fixture's conversations are heavily templated
+    (near-dup CLIQUES), so the gate samples 1/11 of conversations by
+    portable hash and reports the per-conversation summary
+    (n_near_dups, nearest lower partner) — the pair set itself is
+    quadratic in clique size by nature, not by plan shape."""
+    from satya_spark.functions.dedup import minhash_dedup_pairs, portable_hash64
+
+    t = from_tpch(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    texts = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+        lambda s: s["text"],
+    )
+    conv_docs = t.groupBy("conv_id").agg(
+        F.concat_ws(" ", texts).alias("text")
+    ).filter(F.pmod(portable_hash64(F.col("conv_id"), "cn"), F.lit(11)) == 0)
+    pairs = minhash_dedup_pairs(conv_docs, id_col="conv_id", text_col="text")
+    return pairs.groupBy("id_b").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.min("id_a").alias("nearest_lower"),
+        F.round(F.max("jac"), 6).alias("max_jac"),
+    ).select(F.col("id_b").alias("conv_id"), "n_near_dups", "nearest_lower", "max_jac")
+
+
 def q_null_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-level null-rate: per-field null fraction vs threshold."""
     df = from_tpch(spark, sf_dir)
@@ -1182,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "column_stats": q_column_stats,
             "conv_stats": q_conv_stats,
             "conv_dedup": q_conv_dedup,
+            "conv_neardup": q_conv_neardup,
             "conv_structure": q_conv_structure,
             "null_rate": q_null_rate,
             "drift_psi": q_drift_psi,
@@ -1307,8 +1336,51 @@ def oracle_sql() -> dict[str, str]:
         " AS avg_text_len "
         "FROM transcripts GROUP BY conv_id"
     )
+    from satya_spark.functions import text as _tx
+    from satya_spark.functions.dedup import MINHASH_BANDS as _MB
+    from satya_spark.functions.dedup import MINHASH_K as _MK
     from satya_spark.functions.dedup import portable_hash64_sql as _ph
 
+    _ctoks = f"list_distinct({_tx.tokens_ws_sql('text')})"
+    _cmh = ", ".join(
+        "list_aggregate(list_transform(toks, x ->"
+        f" ('0x' || substring(md5('mh{i}:' || x), 1, 15))::BIGINT), 'min')"
+        f" AS mh{i}"
+        for i in range(_MK)
+    )
+    _cr = _MK // _MB
+    _cbands = " UNION ALL ".join(
+        "SELECT conv_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * _cr + j} AS VARCHAR)" for j in range(_cr)
+            ),
+        )
+        for b in range(_MB)
+    )
+    _cjac = (
+        "round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(ta.toks, tb.toks))), 6)"
+    )
+    out["conv_neardup"] = _duck(
+        ", conv_docs AS (SELECT conv_id,"
+        " string_agg(text, ' ' ORDER BY turn_idx, text) AS text"
+        " FROM transcripts GROUP BY conv_id"
+        f" HAVING {_ph('conv_id', 'cn')} % 11 = 0), "
+        f"t AS (SELECT conv_id, {_ctoks} AS toks FROM conv_docs), "
+        f"sig AS (SELECT conv_id, toks, {_cmh} FROM t), "
+        f"bb AS ({_cbands}), "
+        "cand AS (SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b"
+        " FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket"
+        " AND a.conv_id < b.conv_id), "
+        "pr AS (SELECT id_a, id_b, jac FROM (SELECT id_a, id_b,"
+        f" {_cjac} AS jac FROM cand"
+        " JOIN t ta ON ta.conv_id = id_a JOIN t tb ON tb.conv_id = id_b) p"
+        " WHERE jac >= 0.6) "
+        "SELECT id_b AS conv_id, CAST(count(*) AS BIGINT) AS n_near_dups,"
+        " min(id_a) AS nearest_lower, round(max(jac), 6) AS max_jac"
+        " FROM pr GROUP BY id_b"
+    )
     out["conv_dedup"] = _duck(
         ", aug AS (SELECT conv_id, turn_idx, text FROM transcripts"
         " UNION ALL SELECT conv_id || '_dup' AS conv_id, turn_idx, text"
