@@ -88,6 +88,8 @@ DEDUP_HEADLINE = [
     "dedup_semantic_arrow",  # SemDeDup, numpy assign+verify (r4)
     "dup_spans",  # corpus-wide duplicated-span report (r4)
     "dup_span_removal",  # ExactSubstr cut + text rebuild (r4)
+    "conv_dedup",  # transcript-payload exact conversation dedup (r4)
+    "conv_neardup",  # MinHash near-dup over flattened conversations (r4)
     "clf_score",  # broadcast-join linear classifier application (r4)
     "corpus_mix",  # training-mix rollup (r4)
     "pack_sequences",  # shard-local sequence packing (r4)
