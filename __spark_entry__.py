@@ -215,6 +215,15 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_dup_groups(t.unionByName(dup))
 
 
+def q_conv_repeated_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation repeated turn text (stuck-agent / loop
+    signal): one map-side-combining groupBy on (conv, text hash) —
+    see convcheck.repeated_turn_groups."""
+    from satya_spark.convcheck import repeated_turn_groups
+
+    return repeated_turn_groups(from_tpch(spark, sf_dir))
+
+
 def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate conversations: each conversation flattened to
     one space-joined turn-ordered text, then the standard MinHash-LSH
@@ -1211,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "conv_stats": q_conv_stats,
             "conv_dedup": q_conv_dedup,
             "conv_neardup": q_conv_neardup,
+            "conv_repeated_turns": q_conv_repeated_turns,
             "conv_structure": q_conv_structure,
             "null_rate": q_null_rate,
             "drift_psi": q_drift_psi,
@@ -1328,6 +1338,9 @@ def oracle_sql() -> dict[str, str]:
     from satya_spark.convcheck import conversation_structure_sql
 
     out["conv_structure"] = _duck(conversation_structure_sql("transcripts"))
+    from satya_spark.convcheck import repeated_turn_groups_sql
+
+    out["conv_repeated_turns"] = _duck(repeated_turn_groups_sql("transcripts"))
     out["conv_stats"] = _duck(
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
         "max(turn_idx) AS max_turn_idx, "

@@ -187,3 +187,59 @@ def conversation_structure_sql(
     )
     body = "\nUNION ALL\n".join(parts + [null_sel])
     return f"SELECT * FROM (\nWITH __lagged AS ({lagged})\n{body}\n) __conv_v"
+
+
+def repeated_turn_groups(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-conversation repeated turn TEXT — the stuck-agent /
+    degenerate-loop signal for agent transcripts: one row per
+    (conversation, text) group occurring more than once, with the
+    first/last turn index and the occurrence count. NULL texts are
+    excluded (a missing turn body is a presence violation, not a
+    loop). Exact same-index duplicate rows count as repeats too (the
+    count is over occurrences, not distinct indices).
+
+    Shape: one map-side-combining groupBy on (conv, 8-byte text
+    hash) — never a per-conversation window over texts, so a hot
+    conversation's repeats partial-aggregate before the shuffle.
+    """
+    from .functions.dedup import portable_hash64
+
+    t = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(conv_col),
+        F.col(order_col),
+        portable_hash64(F.col(text_col), "rt").alias("__h"),
+    )
+    return (
+        t.groupBy(conv_col, "__h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(order_col).alias("first_turn_idx"),
+            F.max(order_col).alias("last_turn_idx"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .drop("__h")
+    )
+
+
+def repeated_turn_groups_sql(
+    table: str,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`repeated_turn_groups`."""
+    from .functions.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql(text_col, "rt")
+    return (
+        f"SELECT {conv_col}, CAST(count(*) AS BIGINT) AS n_occurrences,"
+        f" min({order_col}) AS first_turn_idx,"
+        f" max({order_col}) AS last_turn_idx"
+        f" FROM {table} WHERE {text_col} IS NOT NULL"
+        f" GROUP BY {conv_col}, {h} HAVING count(*) > 1"
+    )

@@ -127,3 +127,24 @@ def test_structure_clean_conversation_empty(spark):
         ("ok", 5, "user", None),
     ]
     assert _spark_rows(spark, rows) == []
+
+
+def test_repeated_turn_groups(spark):
+    """Repeated turn text flags within a conversation only; NULL
+    texts never group; same-index duplicate rows count as repeats."""
+    from satya_spark.convcheck import repeated_turn_groups
+
+    rows = [
+        ("a", 0, "hello"), ("a", 1, "world"), ("a", 2, "hello"),
+        ("a", 3, "hello"),
+        ("b", 0, "hello"),                      # cross-conv: no repeat
+        ("b", 1, None), ("b", 2, None),          # nulls excluded
+        ("c", 0, "dup row"), ("c", 0, "dup row"),  # same-idx dup rows
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["conv_id"]: r for r in repeated_turn_groups(df).collect()}
+    assert set(out) == {"a", "c"}
+    a = out["a"]
+    assert (a["n_occurrences"], a["first_turn_idx"], a["last_turn_idx"]) == (3, 0, 3)
+    c = out["c"]
+    assert (c["n_occurrences"], c["first_turn_idx"], c["last_turn_idx"]) == (2, 0, 0)
