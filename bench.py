@@ -56,6 +56,7 @@ HEADLINE = [
     "referential",
     "conv_stats",
     "conv_structure",  # sequence-level checks: one conv_id window (r4)
+    "conv_repeated_turns",  # loop signal: groupBy(conv, text hash) (r4)
     "column_stats",
     "drift_psi",
     "drift_ks",
