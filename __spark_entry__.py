@@ -215,6 +215,49 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_dup_groups(t.unionByName(dup))
 
 
+def q_transcript_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level PII detection + redaction over TRANSCRIPTS (the
+    compliance pass transcript pipelines run before export): PII is
+    planted deterministically per (conv_id, turn_idx) by portable
+    hash — email on ≡0 (mod 13), SSN on ≡0 (mod 17) — then the same
+    one-projection regex battery as the documents gate flags and
+    redacts each turn."""
+    from satya_spark.functions.dedup import portable_hash64
+    from satya_spark.functions.pii import pii_flag, redact
+
+    t = from_tpch(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    # coalesce the nullable turn_idx explicitly: concat_ws would skip
+    # a null (planting anyway) while the DuckDB || chain yields NULL
+    # (never planting) — the fixture HAS null turn_idx rows
+    key = portable_hash64(
+        F.concat(
+            F.col("conv_id"),
+            F.lit(":"),
+            F.coalesce(F.col("turn_idx").cast("string"), F.lit("null")),
+        ),
+        "tp",
+    )
+    txt = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(
+            F.when(F.pmod(key, F.lit(13)) == 0, F.lit(" contact agent@example.com")),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.when(F.pmod(key, F.lit(17)) == 0, F.lit(" ssn 123-45-6789")),
+            F.lit(""),
+        ),
+    )
+    d = t.select("conv_id", "turn_idx", txt.alias("__t"))
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        pii_flag(F.col("__t"), "email").alias("pii_email"),
+        pii_flag(F.col("__t"), "ssn").alias("pii_ssn"),
+        redact(F.col("__t")).alias("text_redacted"),
+    )
+
+
 def q_conv_repeated_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-conversation repeated turn text (stuck-agent / loop
     signal): one map-side-combining groupBy on (conv, text hash) —
@@ -1221,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "conv_dedup": q_conv_dedup,
             "conv_neardup": q_conv_neardup,
             "conv_repeated_turns": q_conv_repeated_turns,
+            "transcript_pii": q_transcript_pii,
             "conv_structure": q_conv_structure,
             "null_rate": q_null_rate,
             "drift_psi": q_drift_psi,
@@ -1338,9 +1382,30 @@ def oracle_sql() -> dict[str, str]:
     from satya_spark.convcheck import conversation_structure_sql
 
     out["conv_structure"] = _duck(conversation_structure_sql("transcripts"))
+    from satya_spark.functions.dedup import portable_hash64_sql as _ph
     from satya_spark.convcheck import repeated_turn_groups_sql
 
     out["conv_repeated_turns"] = _duck(repeated_turn_groups_sql("transcripts"))
+    from satya_spark.functions import pii as _px
+
+    _tkey = _ph(
+        "conv_id || ':' || coalesce(CAST(turn_idx AS VARCHAR), 'null')", "tp"
+    )
+    _ttxt = (
+        "coalesce(text, '')"
+        f" || coalesce(CASE WHEN {_tkey} % 13 = 0"
+        " THEN ' contact agent@example.com' END, '')"
+        f" || coalesce(CASE WHEN {_tkey} % 17 = 0"
+        " THEN ' ssn 123-45-6789' END, '')"
+    )
+    out["transcript_pii"] = _duck(
+        f", tpii AS (SELECT conv_id, turn_idx, {_ttxt} AS __t"
+        " FROM transcripts) "
+        "SELECT conv_id, turn_idx,"
+        f" {_px.pii_flag_sql('__t', 'email')} AS pii_email,"
+        f" {_px.pii_flag_sql('__t', 'ssn')} AS pii_ssn,"
+        f" {_px.redact_sql('__t')} AS text_redacted FROM tpii"
+    )
     out["conv_stats"] = _duck(
         "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
         "max(turn_idx) AS max_turn_idx, "
@@ -1352,7 +1417,6 @@ def oracle_sql() -> dict[str, str]:
     from satya_spark.functions import text as _tx
     from satya_spark.functions.dedup import MINHASH_BANDS as _MB
     from satya_spark.functions.dedup import MINHASH_K as _MK
-    from satya_spark.functions.dedup import portable_hash64_sql as _ph
 
     _ctoks = f"list_distinct({_tx.tokens_ws_sql('text')})"
     _cmh = ", ".join(
