@@ -1158,6 +1158,32 @@ def q_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, hash_weights(docs))
 
 
+def q_mix_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-column Bernoulli sampling (mix.bernoulli_sample): keep
+    probability = the composite quality score — quality-weighted
+    downsampling as a deterministic pure filter."""
+    from satya_spark.functions.mix import bernoulli_sample
+    from satya_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "p", quality_score(F.col("text"))
+    )
+    return bernoulli_sample(docs, "p")
+
+
+def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-facing pack expansion (mix.pack_segments): one row per
+    (doc, window) intersection with the in-document token sub-range;
+    docs crossing window boundaries emit one segment per window."""
+    from satya_spark.functions.mix import pack_segments
+
+    return pack_segments(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        window_tokens=37,
+        n_shards=8,
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-span report (ExactSubstr signal, Lee et
     al. 2021): one posexplode to 8-byte gram keys, groupBy(hash)
@@ -1293,7 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_ngrams": q_gopher_ngrams,
             "corpus_mix": q_corpus_mix,
             "mix_sample": q_mix_sample,
+            "mix_bernoulli": q_mix_bernoulli,
             "pack_sequences": q_pack_sequences,
+            "pack_segments": q_pack_segments,
             "dup_spans": q_dup_spans,
             "dup_span_removal": q_dup_span_removal,
             "clf_score": q_clf_score,
@@ -1978,6 +2006,17 @@ def _doc_oracles() -> dict[str, str]:
     )
     o["pack_sequences"] = mx.pack_sequences_sql(
         "documents", window_tokens=512, n_shards=8
+    )
+    from satya_spark.functions.text import quality_score_sql as _qs
+
+    o["mix_bernoulli"] = (
+        "WITH wdocs AS (SELECT *, "
+        + _qs("text")
+        + " AS p FROM documents)\n"
+        + mx.bernoulli_sample_sql("wdocs", "p")
+    )
+    o["pack_segments"] = mx.pack_segments_sql(
+        "documents", window_tokens=37, n_shards=8
     )
     from satya_spark.functions import classify as cf
 

@@ -205,3 +205,109 @@ def pack_sequences_sql(
         f" FROM {table})"
         f" WINDOW w AS (PARTITION BY shard ORDER BY {id_col})"
     )
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    p_col: str,
+    id_col: str = "doc_id",
+    seed: str = "bern",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli keep with row-specific
+    probability ``p_col`` (e.g. a classifier score mapped to [0, 1]):
+    keep iff ``hash64(seed‖id) mod 1e6 < round(p·1e6)``. The
+    weight-column generalization of :func:`stratified_sample` — same
+    pure-filter shape (zero shuffle), same reproducibility across
+    runs/engines/partition layouts; p ≤ 0 never keeps, p ≥ 1 always
+    keeps."""
+    h = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), seed), F.lit(SAMPLE_DENOM)
+    )
+    thr = F.round(
+        F.greatest(F.least(F.col(p_col), F.lit(1.0)), F.lit(0.0))
+        * SAMPLE_DENOM
+    )
+    return df.filter(h < thr)
+
+
+def bernoulli_sample_sql(
+    table: str, p_col: str, id_col: str = "doc_id", seed: str = "bern"
+) -> str:
+    """DuckDB twin of :func:`bernoulli_sample` (SELECT *)."""
+    h = portable_hash64_sql(f"CAST({id_col} AS VARCHAR)", seed)
+    return (
+        f"SELECT * FROM {table} WHERE {h} % {SAMPLE_DENOM}"
+        f" < round(greatest(least({p_col}, 1.0), 0.0) * {SAMPLE_DENOM})"
+    )
+
+
+def pack_segments(
+    df: DataFrame,
+    window_tokens: int = 2048,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+) -> DataFrame:
+    """The trainer-facing expansion of :func:`pack_sequences`: one row
+    per (document, window) INTERSECTION — a document whose token run
+    crosses window boundaries emits a segment row for every window it
+    touches, with the token sub-range that lands there. Columns:
+    (id, shard, pack_id, seg_start, seg_len) where seg_start is the
+    offset INTO THE DOCUMENT (0-based) and Σ seg_len = n_tokens.
+    Zero-token docs emit no segments.
+
+    Same shard-local shape as pack_sequences plus one explode of
+    sequence(first_window, last_window) — bounded by
+    ceil(n_tokens / window) rows per doc."""
+    packed = pack_sequences(
+        df, window_tokens, n_shards, id_col, text_col, seed
+    ).filter(F.col("n_tokens") > 0)
+    w = F.lit(window_tokens)
+    first = F.floor(F.col("start_tok") / w).cast("long")
+    last = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / w).cast(
+        "long"
+    )
+    e = packed.select(
+        id_col,
+        "shard",
+        "start_tok",
+        "n_tokens",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    seg_abs_start = F.greatest(F.col("start_tok"), F.col("pack_id") * w)
+    seg_abs_end = F.least(
+        F.col("start_tok") + F.col("n_tokens"), (F.col("pack_id") + 1) * w
+    )
+    return e.select(
+        id_col,
+        "shard",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (seg_abs_start - F.col("start_tok")).cast("long").alias("seg_start"),
+        (seg_abs_end - seg_abs_start).cast("long").alias("seg_len"),
+    )
+
+
+def pack_segments_sql(
+    table: str,
+    window_tokens: int = 2048,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+) -> str:
+    """DuckDB twin of :func:`pack_segments`."""
+    inner = pack_sequences_sql(
+        table, window_tokens, n_shards, id_col, text_col, seed
+    )
+    wdw = f"{window_tokens}"
+    return (
+        f"SELECT {id_col}, shard, CAST(p AS BIGINT) AS pack_id,"
+        f" CAST(greatest(start_tok, p * {wdw}) - start_tok AS BIGINT)"
+        " AS seg_start,"
+        f" CAST(least(start_tok + n_tokens, (p + 1) * {wdw})"
+        f" - greatest(start_tok, p * {wdw}) AS BIGINT) AS seg_len"
+        f" FROM (SELECT *, unnest(range(CAST(floor(start_tok / {wdw}.0) AS BIGINT),"
+        f" CAST(floor((start_tok + n_tokens - 1) / {wdw}.0) AS BIGINT) + 1)) AS p"
+        f" FROM ({inner}) WHERE n_tokens > 0)"
+    )

@@ -93,3 +93,49 @@ def test_pack_sequences_shard_local(spark):
         assert r["start_tok"] == expect
         assert r["pack_id"] == expect // 16
         by_shard[r["shard"]] = expect + r["n_tokens"]
+
+
+def test_bernoulli_sample_extremes_and_determinism(spark):
+    from satya_spark.functions.mix import bernoulli_sample
+
+    rows = [(i, f"t {i}", "en", "web", p)
+            for i, p in enumerate([0.0, 1.0, 0.5, -3.0, 7.0] * 200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, p double"
+    )
+    kept = {r["doc_id"] for r in bernoulli_sample(df, "p").collect()}
+    for i in range(0, 1000, 5):
+        assert i not in kept          # p = 0.0 never keeps
+        assert i + 1 in kept          # p = 1.0 always keeps
+        assert i + 3 not in kept      # p clamps below at 0
+        assert i + 4 in kept          # p clamps above at 1
+    mid = [i for i in kept if i % 5 == 2]
+    assert 60 <= len(mid) <= 140      # ~0.5 of 200
+    assert kept == {r["doc_id"] for r in bernoulli_sample(df, "p").collect()}
+
+
+def test_pack_segments_reconstruct(spark):
+    from satya_spark.functions.mix import pack_segments, pack_sequences
+
+    rows = [(i, "w " * (3 + i % 11), "en", "web") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    seqs = {r["doc_id"]: r for r in
+            pack_sequences(df, window_tokens=7, n_shards=4).collect()}
+    segs = pack_segments(df, window_tokens=7, n_shards=4).collect()
+    by_doc: dict = {}
+    for s in segs:
+        by_doc.setdefault(s["doc_id"], []).append(s)
+    for i, r in seqs.items():
+        parts = sorted(by_doc.get(i, []), key=lambda s: s["pack_id"])
+        assert sum(p["seg_len"] for p in parts) == r["n_tokens"]
+        assert parts[0]["pack_id"] == r["pack_id"]  # first window = start window
+        assert parts[0]["seg_start"] == 0
+        # consecutive windows, contiguous in-document ranges
+        off = 0
+        for j, p in enumerate(parts):
+            assert p["pack_id"] == parts[0]["pack_id"] + j
+            assert p["seg_start"] == off and p["seg_len"] >= 1
+            off += p["seg_len"]
+        # every middle segment fills a whole window
+        for p in parts[1:-1]:
+            assert p["seg_len"] == 7
