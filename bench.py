@@ -93,7 +93,10 @@ DEDUP_HEADLINE = [
     "conv_neardup",  # MinHash near-dup over flattened conversations (r4)
     "clf_score",  # broadcast-join linear classifier application (r4)
     "corpus_mix",  # training-mix rollup (r4)
+    "mix_sample",  # deterministic stratified sampling (r4)
+    "mix_bernoulli",  # weight-column Bernoulli sampling (r4)
     "pack_sequences",  # shard-local sequence packing (r4)
+    "pack_segments",  # per-(doc, window) trainer-facing expansion (r4)
 ]
 
 
