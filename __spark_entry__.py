@@ -276,8 +276,18 @@ def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-dup CLIQUES), so the gate samples 1/11 of conversations by
     portable hash and reports the per-conversation summary
     (n_near_dups, nearest lower partner) — the pair set itself is
-    quadratic in clique size by nature, not by plan shape."""
-    from satya_spark.functions.dedup import minhash_dedup_pairs, portable_hash64
+    quadratic in clique size by nature, not by plan shape.
+
+    Templated fixtures make exact duplicates the dominant clique
+    mass, so the pipeline runs MinHash over DISTINCT flattened texts
+    only (minhash_dedup_pairs_collapsed): tokenize/signature/verify
+    cost drops from per-conversation to per-distinct-text, and the
+    c² term degrades to a fan-back join of (id, id, jac) rows with no
+    token arrays attached (292 s → seconds at sf0.1, BENCH.md r5)."""
+    from satya_spark.functions.dedup import (
+        minhash_dedup_pairs_collapsed,
+        portable_hash64,
+    )
 
     t = from_tpch(spark, sf_dir).select("conv_id", "turn_idx", "text")
     texts = F.transform(
@@ -287,7 +297,7 @@ def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv_docs = t.groupBy("conv_id").agg(
         F.concat_ws(" ", texts).alias("text")
     ).filter(F.pmod(portable_hash64(F.col("conv_id"), "cn"), F.lit(11)) == 0)
-    pairs = minhash_dedup_pairs(conv_docs, id_col="conv_id", text_col="text")
+    pairs = minhash_dedup_pairs_collapsed(conv_docs, id_col="conv_id", text_col="text")
     return pairs.groupBy("id_b").agg(
         F.count(F.lit(1)).alias("n_near_dups"),
         F.min("id_a").alias("nearest_lower"),

@@ -133,7 +133,8 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("toks_s", "toks_l"))
     union = F.size(F.array_distinct(F.concat("toks_s", "toks_l")))
-    jac = F.round(inter.cast("double") / union, 6)
+    # 0/0 guard (two empty-token docs share band 0): NULL → filtered
+    jac = F.round(F.when(union > 0, inter.cast("double") / union), 6)
     return (
         joined.select(
             F.least("id_s", "id_l").alias("id_a"),
@@ -178,16 +179,12 @@ def minhash_signatures(
     return t.select(F.col(id_col), *minhash_signature(F.col("__toks"), k))
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = MINHASH_K,
-    bands: int = MINHASH_BANDS,
+def _lsh_band_buckets(
+    df: DataFrame, id_col: str, text_col: str, k: int, bands: int
 ) -> DataFrame:
-    """Candidate pairs sharing ≥1 LSH band bucket. Band bucket =
-    md5 of the band's signature slice. One self-join per run, keyed
-    by (band_idx, bucket) — the classic shuffle-bounded LSH join."""
+    """(id, band, bucket) — one row per document per band. Bucket =
+    md5 of the band's signature slice. Shared by the candidate join
+    and the oversized-bucket report so both see identical buckets."""
     if bands <= 0 or k % bands != 0:
         raise ValueError(
             f"k ({k}) must be divisible by bands ({bands}); otherwise the"
@@ -198,16 +195,50 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(df, id_col, text_col, k)
     buckets = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+        cols = [
+            F.col(f"mh{b * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
         buckets.append(
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("bucket"),
             )
         )
-    exploded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*buckets)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band bucket. Band bucket =
+    md5 of the band's signature slice. One self-join per run, keyed
+    by (band_idx, bucket) — the classic shuffle-bounded LSH join.
+
+    ``max_bucket_size`` is standard LSH hygiene for duplicate-heavy
+    corpora: a band bucket with b members emits b² candidate rows, so
+    one templated clique can dominate the verify join. With a cap,
+    buckets larger than ``max_bucket_size`` are EXCLUDED from the
+    self-join — never silently: use :func:`lsh_oversized_buckets`
+    (same arguments) to report exactly which (band, bucket, size)
+    groups were dropped, and log that count next to the result.
+    Default None = exact candidate set (the oracle-gated config)."""
+    exploded = _lsh_band_buckets(df, id_col, text_col, k, bands)
+    if max_bucket_size is not None:
+        # window count shares the (band, bucket) shuffle with the join
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        exploded = exploded.withColumn(
+            "__bsz", F.count(F.lit(1)).over(w)
+        ).filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     a = exploded.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )
@@ -217,6 +248,28 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_oversized_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band, bucket, size) rows for every LSH band bucket whose size
+    exceeds ``max_bucket_size`` — the 'no silent cap' companion to
+    ``lsh_candidate_pairs(max_bucket_size=...)``: run this, log the
+    rows, THEN cap. A bucket this hot is either a templated clique
+    (collapse exact dups first, see minhash_dedup_pairs_collapsed) or
+    a degenerate band (e.g. the all-empty-token bucket)."""
+    return (
+        _lsh_band_buckets(df, id_col, text_col, k, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > max_bucket_size)
     )
 
 
@@ -256,9 +309,120 @@ def minhash_dedup_pairs(
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size(F.array_distinct(F.concat("toks_a", "toks_b")))
-    jac = F.round(inter.cast("double") / union, 6)
+    # guard 0/0 (two empty-token docs collide in the null-signature
+    # bucket): NULL jac → dropped by the threshold filter. Under ANSI
+    # mode an unguarded divide would abort the job instead.
+    jac = F.round(F.when(union > 0, inter.cast("double") / union), 6)
     return j.select("id_a", "id_b", jac.alias("jac")).filter(
         F.col("jac") >= threshold
+    )
+
+
+def minhash_dedup_pairs_collapsed(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Same pair set as :func:`minhash_dedup_pairs`, restructured for
+    duplicate-heavy (templated) corpora: documents are collapsed to
+    one representative per TOKEN-SET fingerprint BEFORE
+    minhash/LSH/verify, and pair results are fanned back to ids by
+    fingerprint afterwards.
+
+    Why the token set is the right collapse key: every quantity the
+    plain pipeline computes — the k minhash values, hence the band
+    buckets, hence candidacy, AND the verified Jaccard — is a pure
+    function of ``array_distinct(tokens_ws(text))``. Two documents
+    with equal token sets are therefore interchangeable everywhere in
+    the pipeline, whatever their raw bytes. Templated corpora
+    (transcripts stamped from a message template) collapse brutally:
+    the sf0.1 conversation fixture has 13,502 sampled docs but only
+    415 distinct token sets, so the LSH self-join shrinks from 40M
+    candidate pairs to a few thousand and the token-array verify runs
+    415× less often (measured: conv_neardup 292 s → seconds, BENCH.md
+    r5). The c² clique term survives only as the fan-back join of
+    (id, id, double) rows — tiny fixed-width shuffle rows, no token
+    arrays — and that term is the OUTPUT's own size, not overhead.
+
+    Output-equivalence argument (per case):
+
+    * equal token sets, non-empty → plain pipeline yields jac = 1.0
+      (identical signature → same buckets → verify |s|/|s|); here the
+      group self-edge emits 1.0 directly.
+    * equal token sets, EMPTY → plain pipeline candidates collide
+      (null signature → one bucket) but verify yields 0/0 = NULL,
+      dropped by the threshold filter; here the self-edge is
+      suppressed for empty-token groups.
+    * different token sets → both pipelines run the identical
+      LSH+verify, just keyed by fingerprint here; cross-group results
+      fan out to every (id_a < id_b) member combination with the
+      group-level jac, exactly the per-id result.
+
+    The fingerprint hashes each token before joining (md5 hex cannot
+    contain the separator), so distinct token sets cannot collide
+    into one group short of an md5 collision.
+    """
+    toks_fp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.array_distinct(tokens_ws(F.col(text_col)))),
+                F.md5,
+            ),
+        )
+    )
+    # fp is scanned three times (groups + both member sides) and sits
+    # atop the caller's (possibly expensive) upstream plan — persist
+    # the tiny (id, fp, text) projection to pin upstream to one run
+    fp = df.select(
+        F.col(id_col), toks_fp.alias("__fp"), F.col(text_col)
+    ).persist()
+    groups = fp.groupBy("__fp").agg(
+        F.first(text_col).alias(text_col),  # any member: equal token sets
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rep_pairs = minhash_dedup_pairs(
+        groups.select(F.col("__fp").alias(id_col), text_col),
+        threshold,
+        id_col,
+        text_col,
+        k=k,
+        bands=bands,
+    )
+    cross = rep_pairs.select(
+        F.col("id_a").alias("fp_a"), F.col("id_b").alias("fp_b"), "jac"
+    )
+    # both orientations: member ids interleave across groups, so the
+    # final id_a < id_b filter must see each group pair both ways
+    sym = cross.unionByName(
+        cross.select(
+            F.col("fp_b").alias("fp_a"), F.col("fp_a").alias("fp_b"), "jac"
+        )
+    )
+    self_edges = groups.filter(
+        (F.col("__n") >= 2)
+        & (F.size(F.array_distinct(tokens_ws(F.col(text_col)))) > 0)
+    ).select(
+        F.col("__fp").alias("fp_a"),
+        F.col("__fp").alias("fp_b"),
+        F.round(F.lit(1.0), 6).alias("jac"),
+    )
+    edges = sym.unionByName(self_edges)
+    members_a = fp.select(F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"))
+    members_b = fp.select(F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b"))
+    # the fan-out is quadratic in clique size BY OUTPUT CONTRACT (it
+    # IS the pair set); broadcasting the per-doc member map keeps it
+    # a single shuffle-free generate stage. At cluster scale swap the
+    # broadcasts for a shuffle join keyed on fingerprint if the doc
+    # count outgrows the driver (both sides are fixed-width rows).
+    return (
+        F.broadcast(edges).join(members_a, "fp_a")
+        .join(F.broadcast(members_b), "fp_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "jac")
     )
 
 

@@ -217,6 +217,73 @@ def test_minhash_dedup_finds_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def _collapsed_equiv_fixture(spark):
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"w{i}" for i in range(25))
+    rows = [
+        # exact-dup clique of 4 (templated transcripts)
+        (1, base, "en"),
+        (2, base, "en"),
+        (5, base, "en"),
+        (9, base, "en"),
+        # near-dup of the clique (cross-group edge)
+        (3, base + " extra", "en"),
+        # second exact-dup pair, unrelated text
+        (4, other, "en"),
+        (8, other, "en"),
+        # singleton, unrelated
+        (6, "совсем other words", "en"),
+        # identical EMPTY-token texts: plain pipeline yields NULL
+        # jaccard (0/0) and drops them — collapsed must too
+        (7, "   ", "en"),
+        (10, "   ", "en"),
+    ]
+    return _docs(spark, rows)
+
+
+def test_minhash_collapsed_equals_plain(spark):
+    # output-equivalence pin: exact dups, cross-group near dups,
+    # interleaved ids across groups, and the empty-token edge case
+    df = _collapsed_equiv_fixture(spark)
+    plain = {
+        (r["id_a"], r["id_b"], r["jac"])
+        for r in dedup.minhash_dedup_pairs(df, 0.6).collect()
+    }
+    collapsed = {
+        (r["id_a"], r["id_b"], r["jac"])
+        for r in dedup.minhash_dedup_pairs_collapsed(df, 0.6).collect()
+    }
+    assert collapsed == plain
+    # non-vacuous: self-edge pairs, cross-group pairs, and full clique
+    assert (1, 2, 1.0) in plain and (4, 8, 1.0) in plain
+    assert any(a == 1 and b == 3 for a, b, _ in plain)
+    assert not any(7 in (a, b) or 10 in (a, b) for a, b, _ in plain)
+
+
+def test_lsh_bucket_cap_drops_reported_buckets(spark):
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = _docs(
+        spark,
+        [(i, base, "en") for i in range(1, 8)]
+        + [(20, "unrelated words here", "en"), (21, "unrelated words here", "en")],
+    )
+    # the 7-doc clique lands in one bucket per band; cap at 5 drops it
+    oversized = dedup.lsh_oversized_buckets(df, max_bucket_size=5).collect()
+    assert oversized and all(r["size"] == 7 for r in oversized)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(df, max_bucket_size=5).collect()
+    }
+    assert (20, 21) in capped  # small bucket survives
+    assert not any(a < 8 and b < 8 for a, b in capped)  # clique dropped
+    # no cap → exact candidate set includes the clique
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(df).collect()
+    }
+    assert (1, 2) in uncapped
+
+
 def test_lsh_rejects_indivisible_banding(spark):
     # k=8, bands=3 would silently drop the last two signature rows,
     # changing recall — must raise instead (like simhash bits/chunks)
