@@ -629,6 +629,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs_from_testdata(spark, sf_dir), threshold=0.6)
 
 
+def q_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-set-collapse restructuring of the same pipeline
+    (minhash_dedup_pairs_collapsed): one minhash/LSH/verify run per
+    DISTINCT token set, pair results fanned back by fingerprint —
+    output-identical to dedup_minhash (same oracle SQL). WHEN TO USE
+    (measured, BENCH.md r5): a win iff the corpus collapses — the
+    transcripts fixture collapses 32× (conv_neardup 292 s → seconds);
+    the documents fixture only 1.3× (distinct-set NEAR-dup cliques),
+    where fingerprint + fan-back costs exceed the verify savings
+    (121 s vs 24.7 s at sf0.1). This gate exists for output parity;
+    the plain pipeline stays the documents default."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import minhash_dedup_pairs_collapsed
+
+    return minhash_dedup_pairs_collapsed(
+        docs_from_testdata(spark, sf_dir), threshold=0.6
+    )
+
+
 def q_dedup_minhash_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION banding knob demonstrated: same k=8 signature,
     bands=2 → 4-row bands. Collision probability per band is s^4
@@ -1038,6 +1057,51 @@ _DECORATOR_ORACLE_SQL = (
 )
 
 
+# --- web parameter presets (reference src/satya/web.py:14-272) -------------
+
+def _web_params():
+    """The transcript stream validated AS an access log: one declared
+    web parameter per column, exercising every constraint class the
+    reference's WebParam.validate enforces — with WEB semantics (raw
+    min_length, left-anchored re.match pattern, prefix-only url, no
+    254-char email cap), which differ from the kernel gates on the
+    same columns."""
+    from satya_spark import web
+
+    return {
+        "conv_id": web.PathParam(pattern=r"c[0-9]{2,}"),
+        "turn_idx": web.QueryParam(ge=0, le=10_000_000),
+        "role": web.HeaderParam(
+            "x_role", enum=["system", "user", "assistant", "tool"]
+        ),
+        "meta_email": web.FormField(None, email=True),
+        "meta_url": web.QueryParam(None, url=True),
+        "score": web.QueryParam(None, gt=0.0, lt=1e9),
+        "tags": web.QueryParam(None, min_items=1, max_items=3, unique_items=True),
+    }
+
+
+_WEB_DTYPES = {
+    "conv_id": "string",
+    "turn_idx": "int",
+    "role": "string",
+    "meta_email": "string",
+    "meta_url": "string",
+    "score": "double",
+    "tags": "array<string>",
+}
+
+
+def q_web_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar web-parameter validation: array-of-structs projection
+    + filter + explode, zero shuffles (satya_spark/web.py
+    violations_df)."""
+    from satya_spark.web import violations_df
+
+    df = from_tpch(spark, sf_dir).select(*_WEB_DTYPES)
+    return violations_df(df, _web_params(), KEYS)
+
+
 # --- events table (second spec deployment + sessionization) ---------------
 
 def q_events_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1284,37 +1348,101 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: _kernel_query(cs) for name, cs in _KERNEL_GROUPS.items()
-    }
+    """REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness
+    artifact covers the first ~50 registered queries, so gates are
+    registered most-verification-starved first (r4 verdict task 1):
+
+    * tier 1 — never driver-verified (new this round or previously
+      pushed past the window);
+    * tier 2 — r03-verified but the implementing code has changed
+      since (similarity.py / dedup.py churn);
+    * tier 3 — changed this round or highest-value stable gates;
+    * tier 4 — long-stable gates, green in CORRECTNESS_r04 and
+      unchanged since (kernels, text battery, hygiene) — these fall
+      outside the driver window this round by design; the local
+      runner (scripts/check_correctness.py) still sweeps all of them.
+    """
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # -- tier 1: never driver-verified (15) --
     out.update(
         {
-            "kernel_item_type": q_kernel_item_type,
+            "web_params": q_web_params,
+            "dedup_minhash_collapsed": q_dedup_minhash_collapsed,
+            "dup_spans": q_dup_spans,
+            "dup_span_removal": q_dup_span_removal,
+            "clf_score": q_clf_score,
+            "pack_sequences": q_pack_sequences,
+            "pack_segments": q_pack_segments,
+            "dedup_semantic": q_dedup_semantic,
+            "dedup_semantic_arrow": q_dedup_semantic_arrow,
+            "dedup_simhash_pairs_prod": q_dedup_simhash_pairs_prod,
+            "ann_lsh_arrow": q_ann_lsh_arrow,
+            "ann_lsh_multiprobe_arrow": q_ann_lsh_multiprobe_arrow,
+            "ann_ivf_indexed": q_ann_ivf_indexed,
+            "decorator_validate": q_decorator_validate,
+            "events_drift_daily": q_events_drift_daily,
+        }
+    )
+    # -- tier 2: r03-verified, code changed since (18) --
+    out.update(
+        {
+            "dedup_jaccard": q_dedup_jaccard,
+            "dedup_minhash": q_dedup_minhash,
+            "dedup_minhash_tight": q_dedup_minhash_tight,
+            "dedup_simhash": q_dedup_simhash,
+            "dedup_simhash_pairs": q_dedup_simhash_pairs,
+            "ann_topk": q_ann_topk,
+            "ann_lsh_topk": q_ann_lsh_topk,
+            "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+            "ann_ivf_topk": q_ann_ivf_topk,
+            "ann_ivf_pruned": q_ann_ivf_pruned,
+            "ann_ivf_arrow": q_ann_ivf_arrow,
+            "ann_ivf_pruned_arrow": q_ann_ivf_pruned_arrow,
+            "dedup_embedding": q_dedup_embedding,
+            "dedup_embedding_expr": q_dedup_embedding_expr,
+            "media_features": q_media_features,
+            "events_validate": q_events_validate,
+            "events_referential": q_events_referential,
+            "events_sessions": q_events_sessions,
+        }
+    )
+    # -- tier 3: changed this round (conv_neardup + the crossrow
+    # fingerprint path it reuses) or highest-value stable (17) --
+    out.update(
+        {
+            "conv_neardup": q_conv_neardup,
+            "conv_dedup": q_conv_dedup,
+            "conv_repeated_turns": q_conv_repeated_turns,
+            "conv_stats": q_conv_stats,
+            "conv_structure": q_conv_structure,
+            "transcript_pii": q_transcript_pii,
             "row_violations": q_row_violations,
             "row_verdicts": q_row_verdicts,
             "bucket_verdicts": q_bucket_verdicts,
             "unique_key": q_unique_key,
             "referential": q_referential,
             "column_stats": q_column_stats,
-            "conv_stats": q_conv_stats,
-            "conv_dedup": q_conv_dedup,
-            "conv_neardup": q_conv_neardup,
-            "conv_repeated_turns": q_conv_repeated_turns,
-            "transcript_pii": q_transcript_pii,
-            "conv_structure": q_conv_structure,
-            "null_rate": q_null_rate,
+            "coercions": q_coercions,
             "drift_psi": q_drift_psi,
             "drift_ks": q_drift_ks,
+            "json_roundtrip": q_json_roundtrip,
+            "violations_sample": q_violations_sample,
+        }
+    )
+    # -- tier 4: long-stable, r4-green, unchanged (33) --
+    out.update({name: _kernel_query(cs) for name, cs in _KERNEL_GROUPS.items()})
+    out.update(
+        {
+            "kernel_item_type": q_kernel_item_type,
+            "corpus_mix": q_corpus_mix,
+            "null_rate": q_null_rate,
             "drift_psi_grouped": q_drift_psi_grouped,
             "profile_drift": q_profile_drift,
             "quantile_drift": q_quantile_drift,
             "violation_counts": q_violation_counts,
-            "violations_sample": q_violations_sample,
             "top_violating_convs": q_top_violating_convs,
             "column_quantiles": q_column_quantiles,
-            "coercions": q_coercions,
             "stable_text": q_stable_text,
-            "json_roundtrip": q_json_roundtrip,
             "text_stats": q_text_stats,
             "text_langid": q_text_langid,
             "text_fingerprint": q_text_fingerprint,
@@ -1327,40 +1455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "line_repetition": q_line_repetition,
             "gopher_quality": q_gopher_quality,
             "gopher_ngrams": q_gopher_ngrams,
-            "corpus_mix": q_corpus_mix,
             "mix_sample": q_mix_sample,
             "mix_bernoulli": q_mix_bernoulli,
-            "pack_sequences": q_pack_sequences,
-            "pack_segments": q_pack_segments,
-            "dup_spans": q_dup_spans,
-            "dup_span_removal": q_dup_span_removal,
-            "clf_score": q_clf_score,
-            "dedup_jaccard": q_dedup_jaccard,
-            "dedup_minhash": q_dedup_minhash,
-            "dedup_minhash_tight": q_dedup_minhash_tight,
-            "dedup_simhash": q_dedup_simhash,
-            "dedup_simhash_pairs": q_dedup_simhash_pairs,
-            "dedup_simhash_pairs_prod": q_dedup_simhash_pairs_prod,
-            "ann_topk": q_ann_topk,
-            "ann_lsh_topk": q_ann_lsh_topk,
-            "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-            "ann_lsh_arrow": q_ann_lsh_arrow,
-            "ann_lsh_multiprobe_arrow": q_ann_lsh_multiprobe_arrow,
-            "ann_ivf_topk": q_ann_ivf_topk,
-            "ann_ivf_pruned": q_ann_ivf_pruned,
-            "ann_ivf_arrow": q_ann_ivf_arrow,
-            "ann_ivf_pruned_arrow": q_ann_ivf_pruned_arrow,
-            "ann_ivf_indexed": q_ann_ivf_indexed,
-            "dedup_embedding": q_dedup_embedding,
-            "dedup_embedding_expr": q_dedup_embedding_expr,
-            "dedup_semantic": q_dedup_semantic,
-            "dedup_semantic_arrow": q_dedup_semantic_arrow,
-            "media_features": q_media_features,
-            "decorator_validate": q_decorator_validate,
-            "events_drift_daily": q_events_drift_daily,
-            "events_validate": q_events_validate,
-            "events_referential": q_events_referential,
-            "events_sessions": q_events_sessions,
         }
     )
     return out
@@ -1385,6 +1481,11 @@ def oracle_sql() -> dict[str, str]:
         + "\n) v"
     )
     out["decorator_validate"] = _duck(_DECORATOR_ORACLE_SQL)
+    from satya_spark.web import violations_sql as _web_sql
+
+    out["web_params"] = _duck(
+        _web_sql("transcripts", _web_params(), KEYS, _WEB_DTYPES)
+    )
     out["row_verdicts"] = _duck(
         f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
         f"CAST(count(CASE WHEN ({valid}) THEN 1 END) AS BIGINT) AS n_valid, "
@@ -2102,6 +2203,8 @@ def _doc_oracles() -> dict[str, str]:
         )
 
     o["dedup_minhash"] = _minhash_sql(MINHASH_BANDS)
+    # collapsed restructuring is output-identical — same oracle
+    o["dedup_minhash_collapsed"] = _minhash_sql(MINHASH_BANDS)
     o["dedup_minhash_tight"] = _minhash_sql(2)
     bit_sums = ", ".join(
         f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
