@@ -96,30 +96,77 @@ class ConvTurnProcessor(StatefulProcessor):
         pass
 
 
+# Micro-batches touching at least this FRACTION of the bucket's
+# resident conversations bulk-read the whole MapState via iterator()
+# (page-batched Arrow transfer) instead of one getValue RPC per
+# conversation. Measured per-op costs on this box
+# (scripts/tws_experiment.py, BENCH.md r5): point getValue 730–850 µs,
+# updateValue 460–710 µs, bulk iterator 69–87 µs/entry — break-even at
+# touched/resident ≈ 0.1. The default 0.2 is biased toward point
+# reads because bulk cost scales with RESIDENT state (huge at the
+# 10^12-turn steady state: ~10^5 convs/bucket, ~10 touched/batch →
+# point reads); dense batches (backfill / replay / availableNow
+# drains, touched ≈ resident) flip to bulk automatically.
+DENSE_READ_FRACTION = 0.2
+
+
 class BucketTurnProcessor(StatefulProcessor):
     """Grouping key = hash bucket; one MapState ENTRY per
     conversation — point reads/writes for touched convs only (the
     RocksDB-native layout; the packed-array bucket state of the
-    applyInPandasWithState variant rewrites every conv per commit)."""
+    applyInPandasWithState variant rewrites every conv per commit).
+
+    Reads are adaptive: a batch touching ≥ ``dense_read_fraction`` ×
+    the bucket's resident-conversation count pulls the whole map once
+    via the page-batched iterator; sparser batches keep per-conv point
+    reads. The resident count is tracked in a tiny companion
+    ValueState (one extra point read+write per touched bucket per
+    batch — ~1.2 ms, amortized over the batch's convs). Writes are
+    always per-touched-conv — that asymmetry is the layout's contract
+    (untouched conversations are never re-serialized)."""
+
+    def __init__(self, dense_read_fraction: float = DENSE_READ_FRACTION) -> None:
+        # instance attr (not the module global) so it pickles to the
+        # Python workers with the processor
+        self.dense_read_fraction = dense_read_fraction
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._convs = handle.getMapState("convs", _KEY_SCHEMA, _VALUE_SCHEMA)
+        self._nres = handle.getValueState("n_resident", "n int")
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         out_rows: list = []
+        # materialize the group's pdfs (bounded: one bucket's share of
+        # a micro-batch) so the touched-conv count is known before
+        # choosing the read strategy
+        pdfs = list(rows)
+        touched = set()
+        for pdf in pdfs:
+            touched.update(pdf["conv_id"])
+        n_resident = self._nres.get()[0] if self._nres.exists() else 0
+        resident: dict | None = None
+        if len(touched) >= self.dense_read_fraction * n_resident:
+            resident = {k[0]: v for k, v in self._convs.iterator()}
+            n_resident = len(resident)  # exact; heals any counter drift
         # batch-local cache: a conv touched by several pdfs reads
         # state once and writes once
         local: dict = {}
-        for pdf in rows:
+        n_new = 0
+        for pdf in pdfs:
             for conv_id, sub in pdf.groupby("conv_id", sort=False):
                 if conv_id in local:
                     max_turn, seen, capped = local[conv_id]
                 else:
-                    st = self._convs.getValue((conv_id,))
+                    st = (
+                        resident.get(conv_id)
+                        if resident is not None
+                        else self._convs.getValue((conv_id,))
+                    )
                     if st is not None:
                         max_turn, seen, capped = st[0], set(st[1]), st[2]
                     else:
                         max_turn, seen, capped = -1, set(), False
+                        n_new += 1
                 local[conv_id] = _check_turns(
                     conv_id,
                     sub["turn_idx"].to_numpy(),
@@ -130,6 +177,7 @@ class BucketTurnProcessor(StatefulProcessor):
                 )
         for conv_id, (max_turn, seen, capped) in local.items():
             self._convs.updateValue((conv_id,), (max_turn, sorted(seen), capped))
+        self._nres.update((n_resident + n_new,))
         if out_rows:
             yield pd.DataFrame(
                 out_rows,
@@ -199,7 +247,10 @@ class PackedBucketTurnProcessor(StatefulProcessor):
 
 
 def stateful_turn_checks_tws(
-    stream_df: DataFrame, bucket_by: int = 0, layout: str = "map"
+    stream_df: DataFrame,
+    bucket_by: int = 0,
+    layout: str = "map",
+    dense_read_fraction: float = DENSE_READ_FRACTION,
 ) -> DataFrame:
     """transformWithState twin of
     :func:`satya_spark.streaming.stateful.stateful_turn_checks`.
@@ -217,6 +268,11 @@ def stateful_turn_checks_tws(
     (2 RPCs/bucket/batch; wins while resident state is cheap to
     re-serialize — see BENCH.md r4). ``bucket_by = 0`` keys groups by
     conv_id directly with one ValueState each.
+    ``dense_read_fraction`` tunes the map layout's adaptive read:
+    batches touching at least that fraction of a bucket's resident
+    conversations bulk-read the whole MapState instead of
+    point-reading each (0.0 = always bulk; ``float('inf')`` = always
+    point reads).
     """
     base = stream_df.select("conv_id", "turn_idx")
     if bucket_by > 0:
@@ -225,7 +281,7 @@ def stateful_turn_checks_tws(
         proc = (
             PackedBucketTurnProcessor()
             if layout == "packed"
-            else BucketTurnProcessor()
+            else BucketTurnProcessor(dense_read_fraction)
         )
         return (
             base.withColumn(

@@ -196,6 +196,14 @@ def test_tws_matches_apply_in_pandas_with_state(spark, tmp_path):
         ("aipws", _run_batch, {}),
         ("tws_conv", _run_tws_batch, {}),
         ("tws_bucket", _run_tws_batch, {"bucket_by": 4}),
+        # fraction 0 forces the bulk iterator() read path on every
+        # batch; inf forces point reads — both must match the oracle
+        ("tws_dense", _run_tws_batch, {"bucket_by": 4, "dense_read_fraction": 0.0}),
+        (
+            "tws_point",
+            _run_tws_batch,
+            {"bucket_by": 4, "dense_read_fraction": float("inf")},
+        ),
         ("tws_packed", _run_tws_batch, {"bucket_by": 4, "layout": "packed"}),
     ]
     for name, runner, kw in runs:
@@ -213,4 +221,6 @@ def test_tws_matches_apply_in_pandas_with_state(spark, tmp_path):
     assert outs["aipws"], "fixture must produce anomalies"
     assert outs["tws_conv"] == outs["aipws"]
     assert outs["tws_bucket"] == outs["aipws"]
+    assert outs["tws_dense"] == outs["aipws"]
+    assert outs["tws_point"] == outs["aipws"]
     assert outs["tws_packed"] == outs["aipws"]
