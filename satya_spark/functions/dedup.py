@@ -848,3 +848,129 @@ def incremental_exact_dedup(
         "dropped_in_batch": n_in - n_batch_kept,
         "dropped_vs_store": n_batch_kept - n_kept,
     }
+
+
+def incremental_minhash_dedup(
+    df: DataFrame,
+    store_path: str,
+    out_path: str,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """Append-only incremental NEAR-dup dedup — the MinHash-LSH
+    companion to :func:`incremental_exact_dedup`, for the crawl-drop
+    operating shape where each new batch must be deduplicated against
+    everything ever kept WITHOUT re-running LSH over the corpus.
+
+    A persisted store holds, for every kept document, its LSH band
+    buckets (``store_path/buckets``: id, band, bucket) and its
+    distinct token set (``store_path/toks``: id, toks). Each batch:
+
+    1. drops within-batch near-dups first (greedy pairwise: the
+       larger id of any verified pair loses — same winner rule as the
+       batch pipeline's ``min(id)`` convention);
+    2. joins the remaining docs' band buckets against the STORE's
+       buckets — candidates are store docs sharing ≥1 band bucket
+       with a batch doc, the same shuffle-bounded (band, bucket) key
+       as :func:`lsh_candidate_pairs`, never batch × store;
+    3. verifies candidates with true token-set Jaccard against the
+       store's token sets and drops batch docs matching any kept doc
+       at ≥ ``threshold``;
+    4. writes survivors to ``out_path`` and appends exactly their
+       bucket rows + token sets to the store — O(batch), never a
+       rewrite of history.
+
+    Returns {"rows_in", "rows_kept", "dropped_in_batch",
+    "dropped_vs_store"}.
+
+    Scale shape: the store-side joins are keyed by (band, bucket)
+    (step 2 — ``bands`` rows per stored doc) and by id (step 3 —
+    only candidate store docs' token sets are shuffled after the
+    semi-join). Bucketing both store tables (io.write_bucketed on the
+    join keys) upgrades them to co-located joins at 10^11 docs.
+    ``max_bucket_size`` caps the STORE bucket fan-in the same way
+    ``lsh_candidate_pairs`` caps its self-join (report the cut with
+    :func:`lsh_oversized_buckets` over the batch — never silent);
+    templated corpora should also collapse exact dups first
+    (:func:`minhash_dedup_pairs_collapsed` rationale). NOT
+    DuckDB-oracle-able (the store is mutable state across calls);
+    covered by batch-sequence tests instead (same policy as
+    incremental_exact_dedup)."""
+    spark = df.sparkSession
+    bucket_store = store_path.rstrip("/") + "/buckets"
+    toks_store = store_path.rstrip("/") + "/toks"
+
+    n_in = df.count()
+    batch_pairs = minhash_dedup_pairs(
+        df, threshold, id_col, text_col, k=k, bands=bands
+    )
+    losers = batch_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    batch_kept = df.join(losers, id_col, "left_anti")
+    n_batch_kept = batch_kept.count()
+
+    try:
+        old_buckets = spark.read.parquet(bucket_store)
+        seen_store = True
+    except Exception:  # first batch: no store yet
+        seen_store = False
+    if seen_store:
+        new_buckets = _lsh_band_buckets(batch_kept, id_col, text_col, k, bands)
+        if max_bucket_size is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "bucket")
+            old_buckets = old_buckets.withColumn(
+                "__bsz", F.count(F.lit(1)).over(w)
+            ).filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+        cand = (
+            new_buckets.withColumnRenamed(id_col, "new_id")
+            .join(
+                old_buckets.withColumnRenamed(id_col, "old_id"),
+                ["band", "bucket"],
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        new_toks = batch_kept.select(
+            F.col(id_col).alias("new_id"),
+            F.array_distinct(tokens_ws(F.col(text_col))).alias("toks_a"),
+        )
+        old_toks = spark.read.parquet(toks_store).select(
+            F.col(id_col).alias("old_id"), F.col("toks").alias("toks_b")
+        )
+        j = cand.join(new_toks, "new_id").join(old_toks, "old_id")
+        inter = F.size(F.array_intersect("toks_a", "toks_b"))
+        union = F.size(F.array_distinct(F.concat("toks_a", "toks_b")))
+        # 0/0 null-guard: two empty-token docs collide in the
+        # null-signature bucket; NULL jac fails the threshold filter
+        jac = F.when(union > 0, inter.cast("double") / union)
+        dropped = (
+            j.filter(jac >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        kept = batch_kept.join(dropped, id_col, "left_anti")
+    else:
+        kept = batch_kept
+    # sever lineage before touching the store (same trap as
+    # incremental_exact_dedup: the plan reads the store dirs)
+    kept = kept.localCheckpoint(eager=True)
+    n_kept = kept.count()
+    kept.write.mode("append").parquet(out_path)
+    _lsh_band_buckets(kept, id_col, text_col, k, bands).write.mode(
+        "append"
+    ).parquet(bucket_store)
+    kept.select(
+        F.col(id_col),
+        F.array_distinct(tokens_ws(F.col(text_col))).alias("toks"),
+    ).write.mode("append").parquet(toks_store)
+    return {
+        "rows_in": n_in,
+        "rows_kept": n_kept,
+        "dropped_in_batch": n_in - n_batch_kept,
+        "dropped_vs_store": n_batch_kept - n_kept,
+    }

@@ -419,6 +419,47 @@ def test_incremental_exact_dedup_batches(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 5}
 
 
+def test_incremental_minhash_dedup_batches(spark, tmp_path):
+    from satya_spark.functions.dedup import incremental_minhash_dedup
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    base = "the quick brown fox jumps over a lazy dog today"
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            # one token swapped: jac = 9/11 ≈ 0.818 ≥ 0.6 and the
+            # seeded LSH bands collide (deterministic fixture)
+            (2, base.replace("dog", "cat")),
+            (3, "completely different text about spark executors"),
+        ],
+        "doc_id long, text string",
+    )
+    s1 = incremental_minhash_dedup(b1, store, out)
+    assert s1 == {"rows_in": 3, "rows_kept": 2,
+                  "dropped_in_batch": 1, "dropped_vs_store": 0}
+    b2 = spark.createDataFrame(
+        [
+            # another near-variant of doc 1 → store hit
+            (4, base.replace("quick", "swift")),
+            (5, "fresh unseen content with new tokens entirely"),
+            # same token SET as 5, reordered → within-batch near-dup
+            (6, "new tokens entirely with fresh unseen content"),
+        ],
+        "doc_id long, text string",
+    )
+    s2 = incremental_minhash_dedup(b2, store, out)
+    assert s2 == {"rows_in": 3, "rows_kept": 1,
+                  "dropped_in_batch": 1, "dropped_vs_store": 1}
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept_ids == {1, 3, 5}
+    # idempotence: replaying batch 2 keeps nothing new (5 now matches
+    # its own stored token set at jac 1.0)
+    s3 = incremental_minhash_dedup(b2, store, out)
+    assert s3["rows_kept"] == 0
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 3, 5}
+
+
 def test_remove_duplicated_spans_hand_computed(spark):
     from satya_spark.functions.dedup import remove_duplicated_spans
 
