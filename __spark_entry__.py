@@ -1245,6 +1245,19 @@ def q_mix_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bernoulli_sample(docs, "p")
 
 
+def q_mix_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain cap (mix.cap_per_group): at most n
+    docs per source, chosen by deterministic md5-hash priority —
+    two-phase salted top-n so one hot domain never funnels through a
+    single reduce task."""
+    from satya_spark.functions.mix import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_group(docs, group_col="source", n=10).select(
+        "doc_id", "source", "rk"
+    )
+
+
 def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainer-facing pack expansion (mix.pack_segments): one row per
     (doc, window) intersection with the in-document token sub-range;
@@ -1363,9 +1376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       runner (scripts/check_correctness.py) still sweeps all of them.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # -- tier 1: never driver-verified (15) --
+    # -- tier 1: never driver-verified (16) --
     out.update(
         {
+            "mix_cap": q_mix_cap,
             "web_params": q_web_params,
             "dedup_minhash_collapsed": q_dedup_minhash_collapsed,
             "dup_spans": q_dup_spans,
@@ -2128,6 +2142,11 @@ def _doc_oracles() -> dict[str, str]:
     )
     o["pack_segments"] = mx.pack_segments_sql(
         "documents", window_tokens=37, n_shards=8
+    )
+    o["mix_cap"] = (
+        "SELECT doc_id, source, CAST(rk AS INT) AS rk FROM ("
+        + mx.cap_per_group_sql("documents", group_col="source", n=10)
+        + ")"
     )
     from satya_spark.functions import classify as cf
 

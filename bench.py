@@ -104,6 +104,7 @@ DEDUP_HEADLINE = [
     "mix_bernoulli",  # weight-column Bernoulli sampling (r4)
     "pack_sequences",  # shard-local sequence packing (r4)
     "pack_segments",  # per-(doc, window) trainer-facing expansion (r4)
+    "mix_cap",  # RefinedWeb-style per-domain cap, salted top-n (r5)
 ]
 
 

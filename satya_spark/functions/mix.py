@@ -241,6 +241,76 @@ def bernoulli_sample_sql(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "cap",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-group document cap (the RefinedWeb-style per-domain cap):
+    keep at most ``n`` documents per ``group_col`` value, chosen by a
+    deterministic md5-hash priority over the id — so the survivors of
+    an over-represented group are an unbiased, reproducible sample
+    rather than "whatever sorted first", and re-running on any engine
+    or partition layout keeps the same rows. Output: the input rows
+    that survive, plus their in-group rank ``rk`` (1..n).
+
+    Scale shape (100 TB design point): a single window over
+    ``group_col`` funnels every row of a hot domain through ONE
+    reduce task — web corpora are exactly the workload where one
+    domain is 10^9 docs. Same two-phase salted top-n as
+    :func:`satya_spark.crossrow.violations_sample`:
+
+    * phase 1 ranks within (group, salt) — a hot group fans out over
+      ``salt_buckets`` tasks, each emitting at most ``n`` survivors.
+      Any global top-n row is a per-salt top-n row, so the filter is
+      lossless.
+    * phase 2 re-ranks the ≤ n × salt_buckets candidates per group —
+      a trivially small window.
+
+    Full rows ride through phase 1's shuffle once; shuffling a narrow
+    projection instead would need a join back (a second full shuffle)
+    to recover the payload, so carrying the row is the cheaper plan.
+    """
+    pri = portable_hash64(F.col(id_col).cast("string"), seed)
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+    base = df.withColumn("__pri", pri).withColumn("__salt", salt)
+    w1 = Window.partitionBy(group_col, "__salt").orderBy("__pri", id_col)
+    phase1 = (
+        base.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= n)
+        .drop("__salt", "__rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("__pri", id_col)
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= n)
+        .drop("__pri")
+    )
+
+
+def cap_per_group_sql(
+    table: str,
+    group_col: str = "source",
+    n: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` (single window — the
+    salted two-phase split is a physical rewrite with identical
+    output, so the oracle states the logical form)."""
+    h = portable_hash64_sql(f"CAST({id_col} AS VARCHAR)", seed)
+    return (
+        f"SELECT * EXCLUDE (__pri) FROM ("
+        f"SELECT *, {h} AS __pri,"
+        f" row_number() OVER (PARTITION BY {group_col}"
+        f" ORDER BY {h}, {id_col}) AS rk"
+        f" FROM {table}) WHERE rk <= {n}"
+    )
+
+
 def pack_segments(
     df: DataFrame,
     window_tokens: int = 2048,

@@ -139,3 +139,42 @@ def test_pack_segments_reconstruct(spark):
         # every middle segment fills a whole window
         for p in parts[1:-1]:
             assert p["seg_len"] == 7
+
+
+def test_cap_per_group_semantics(spark):
+    from satya_spark.functions.mix import cap_per_group
+
+    rows = [
+        (i, f"text {i}", "en", "hot" if i < 40 else f"src{i % 5}")
+        for i in range(60)
+    ]
+    df = _docs(spark, rows)
+    out = cap_per_group(df, group_col="source", n=7, salt_buckets=4).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # hot group (40 docs) capped at 7; small groups (4 docs each) untouched
+    assert len(by_src["hot"]) == 7
+    for s, grp in by_src.items():
+        if s != "hot":
+            assert len(grp) == 4
+        assert sorted(r["rk"] for r in grp) == list(range(1, len(grp) + 1))
+    # payload columns survive the cap
+    assert all(r["text"] == f"text {r['doc_id']}" for r in out)
+    # deterministic: same seed → same survivors regardless of salt_buckets
+    again = {
+        r["doc_id"]
+        for r in cap_per_group(
+            df, group_col="source", n=7, salt_buckets=16
+        ).collect()
+    }
+    assert again == {r["doc_id"] for r in out}
+    # a different seed draws a different survivor set for the hot group
+    other = {
+        r["doc_id"]
+        for r in cap_per_group(
+            df, group_col="source", n=7, seed="cap2"
+        ).collect()
+        if r["source"] == "hot"
+    }
+    assert other != {r["doc_id"] for r in by_src["hot"]}
