@@ -629,6 +629,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs_from_testdata(spark, sf_dir), threshold=0.6)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → duplicate clusters (dedup.dup_clusters): connected
+    components over the production-banding MinHash pair graph via
+    min-label propagation + pointer jumping; (doc_id, cluster_id =
+    min member id). The keep-one-per-cluster dedup decision the pair
+    gates stop short of. Oracle: recursive-CTE transitive closure
+    over the SAME pair SQL."""
+    from satya_spark.docfix import docs_from_testdata
+    from satya_spark.functions.dedup import dup_clusters, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        docs_from_testdata(spark, sf_dir), threshold=0.6, bands=2
+    )
+    return dup_clusters(pairs)
+
+
 def q_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The token-set-collapse restructuring of the same pipeline
     (minhash_dedup_pairs_collapsed): one minhash/LSH/verify run per
@@ -1376,10 +1392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       runner (scripts/check_correctness.py) still sweeps all of them.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # -- tier 1: never driver-verified (16) --
+    # -- tier 1: never driver-verified (17) --
     out.update(
         {
             "mix_cap": q_mix_cap,
+            "dup_clusters": q_dup_clusters,
             "web_params": q_web_params,
             "dedup_minhash_collapsed": q_dedup_minhash_collapsed,
             "dup_spans": q_dup_spans,
@@ -2225,6 +2242,9 @@ def _doc_oracles() -> dict[str, str]:
     # collapsed restructuring is output-identical — same oracle
     o["dedup_minhash_collapsed"] = _minhash_sql(MINHASH_BANDS)
     o["dedup_minhash_tight"] = _minhash_sql(2)
+    from satya_spark.functions.dedup import dup_clusters_sql
+
+    o["dup_clusters"] = dup_clusters_sql(_minhash_sql(2))
     bit_sums = ", ".join(
         f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
     )

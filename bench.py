@@ -105,6 +105,7 @@ DEDUP_HEADLINE = [
     "pack_sequences",  # shard-local sequence packing (r4)
     "pack_segments",  # per-(doc, window) trainer-facing expansion (r4)
     "mix_cap",  # RefinedWeb-style per-domain cap, salted top-n (r5)
+    "dup_clusters",  # pairs -> connected components, pointer jumping (r5)
 ]
 
 

@@ -426,6 +426,113 @@ def minhash_dedup_pairs_collapsed(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: connected components over
+    the pair graph, labelling every member with the minimum id of its
+    component. Output: (doc_id, cluster_id) for every id appearing in
+    ≥ 1 pair — the keep-one-per-cluster policy is then a trivial
+    ``filter(doc_id != cluster_id)`` drop list. Ids absent from
+    ``pairs`` are their own singleton cluster by definition and are
+    not emitted.
+
+    This is the missing step between LSH pair generation
+    (:func:`minhash_dedup_pairs`, :func:`simhash_pairs`) and an
+    actual dedup decision: near-duplication is not transitive, but
+    dropping per-PAIR double-deletes chains (a~b, b~c: dropping b
+    from the first pair and c from the second deletes 2 of 3 docs
+    where keep-one-per-component keeps 1 of 3 correctly).
+
+    Scale shape (100 TB design point): iterative min-label
+    propagation PLUS pointer jumping (label ← label's label each
+    round, the path-halving trick from parallel union-find — cf.
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14), so convergence is O(log diameter) rounds, not
+    O(diameter). Near-dup graphs are clique-heavy (diameter 1-2
+    inside a template family), so 2-3 rounds is typical. Each round
+    is two shuffles over fixed-width (node, label) rows — never the
+    documents — and ``localCheckpoint`` cuts the growing lineage so
+    round N's plan does not replay rounds 1..N-1. The driver loop
+    coordinates ROUNDS (each a distributed job), never rows; the
+    per-round convergence check is a 1-row count of changed labels.
+    Raises after ``max_iter`` rounds instead of returning a partial
+    labelling.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("__nl"))
+        )
+        prop = labels.join(nbr, "node", "left").select(
+            "node",
+            F.col("label").alias("__old"),
+            F.least("label", F.coalesce("__nl", "label")).alias("label"),
+        )
+        # pointer jump: follow one hop of the label chain (label is
+        # always some node's id, so the self-join always resolves)
+        hop = prop.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
+        jumped = (
+            prop.join(hop, prop.label == hop.__ln, "left")
+            .select(
+                "node",
+                "__old",
+                F.coalesce("__ll", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter(F.col("__old") != F.col("label")).count()
+        labels = jumped.drop("__old")
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds — the pair "
+        "graph has pathological diameter; raise max_iter"
+    )
+
+
+def dup_clusters_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """DuckDB twin of :func:`dup_clusters`: transitive closure via a
+    recursive CTE (min reachable id per node). Exponential-ish at
+    corpus scale, exact at oracle scale — the point is differential
+    verification of the iterative Spark labelling, not a second
+    production path. ``pairs_sql`` may itself carry a WITH clause
+    (nested CTEs are legal in a CTE body)."""
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_sql}), "
+        f"edges AS (SELECT {id_a} AS a, {id_b} AS b FROM pairs "
+        f"UNION SELECT {id_b}, {id_a} FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS node FROM edges), "
+        "reach(node, lab) AS ("
+        "SELECT node, node FROM nodes "
+        "UNION "
+        "SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab) "
+        "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node"
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 16

@@ -973,3 +973,58 @@ def test_repetition_plan_shape(spark):
     assert "EvalPython" not in plan
     assert "lambdafunction" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_dup_clusters_chain_and_clique(spark):
+    """Connected components over a pair graph: a 4-chain, a triangle
+    clique, and an isolated pair each collapse to min-id labels; a
+    doc in no pair is not emitted."""
+    from satya_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain: diameter 3
+            (10, 11), (11, 12), (10, 12),    # clique
+            (20, 21),                        # isolated pair
+        ],
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dup_clusters_long_chain_pointer_jump(spark):
+    """A 33-node chain (diameter 32) must converge well inside
+    max_iter=25 — pointer jumping gives O(log diameter) rounds where
+    plain propagation would need 32."""
+    from satya_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 132)], "id_a long, id_b long"
+    )
+    out = dup_clusters(pairs, max_iter=10)
+    assert {r["cluster_id"] for r in out.collect()} == {100}
+    assert out.count() == 33
+
+
+def test_dup_clusters_string_ids_and_non_convergence(spark):
+    """Works on string ids (conv_id payloads); max_iter exhaustion
+    raises instead of returning a partial labelling."""
+    import pytest
+
+    from satya_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("cA", "cB"), ("cB", "cC")], "id_a string, id_b string"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {"cA": "cA", "cB": "cA", "cC": "cA"}
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 230)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(long_chain, max_iter=1)
