@@ -820,3 +820,44 @@ def test_remove_duplicated_spans_matches_python_oracle(spark, docs):
         for r in remove_duplicated_spans(df, n=3).collect()
     }
     assert got == _py_remove_spans(docs, 3)
+
+
+# --- dup_clusters vs pure-Python union-find ------------------------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _py_components(edges):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_edge_lists)
+def test_dup_clusters_matches_union_find(spark, edges):
+    from satya_spark.functions.dedup import dup_clusters
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()
+    }
+    assert got == _py_components(edges)
