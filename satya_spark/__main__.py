@@ -330,12 +330,41 @@ def cmd_clean(args) -> int:
                 F.concat(F.col("drop_reasons"), F.array(F.lit("duplicate"))),
             ).otherwise(F.col("drop_reasons")),
         )
+    if args.near_dedup:
+        # MinHash-LSH pairs -> connected components; every non-canonical
+        # cluster member gets a reason (keep = min id, consistent with
+        # --dedup's keep-first). Pairs run on a narrow (id, text)
+        # projection; dup_clusters checkpoints its edge set, so the
+        # upstream hygiene pipeline executes once for the pair scan.
+        from .functions.dedup import dup_clusters, minhash_dedup_pairs
+
+        pairs = minhash_dedup_pairs(
+            d.select(idc, txt),
+            threshold=args.near_dedup_threshold,
+            id_col=idc,
+            text_col=txt,
+            bands=2,
+        )
+        losers = (
+            dup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(idc))
+            .withColumn("__neardup", F.lit(True))
+        )
+        d = d.join(losers, idc, "left")
+        d = d.withColumn(
+            "drop_reasons",
+            F.when(
+                F.col("__neardup"),
+                F.concat(F.col("drop_reasons"), F.array(F.lit("near_duplicate"))),
+            ).otherwise(F.col("drop_reasons")),
+        )
     keep = F.size("drop_reasons") == 0
     helper_cols = [
         "n_tokens", "n_distinct", "ttr", "top_bigram_count",
         "top_bigram_frac", "pii_email", "pii_ssn", "pii_phone", "pii_ipv4",
         "pii_types", "text_redacted", "__contam",  # drop() ignores absents
-        "__c4_page_dropped", "gopher_keep", "rep_keep",
+        "__c4_page_dropped", "gopher_keep", "rep_keep", "__neardup",
     ]
     kept = (
         d.filter(keep)
@@ -423,6 +452,18 @@ def main(argv=None) -> int:
         "--dedup",
         action="store_true",
         help="exact dedup on the normalized-text fingerprint (keep-first)",
+    )
+    c.add_argument(
+        "--near-dedup",
+        action="store_true",
+        help="near dedup: MinHash-LSH pairs -> connected components,"
+        " keep the min-id doc per cluster ('near_duplicate' reason)",
+    )
+    c.add_argument(
+        "--near-dedup-threshold",
+        type=float,
+        default=0.6,
+        help="token-set Jaccard threshold for --near-dedup",
     )
     c.add_argument(
         "--c4-lines",

@@ -312,3 +312,45 @@ def test_cli_validate_incremental(spark, tmp_path):
     assert s2["files_validated"] == 0
     assert s2["files_skipped"] == s1["files_total"]
     assert r2.returncode == 0  # nothing validated -> nothing failed
+
+
+def test_cli_clean_near_dedup(spark, tmp_path):
+    """clean --near-dedup: a near-dup CHAIN (a~b, b~c) collapses to
+    one kept doc via connected components — per-pair dropping would
+    keep zero or double-flag; min-id canonical survives."""
+    import json as _json
+
+    from satya_spark.__main__ import main
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, base + " alpha"),
+        (2, base + " alpha beta"),    # near dup of 1 and of 3
+        (3, base + " alpha beta gamma"),  # near dup of 2, farther from 1
+        (4, "completely different text with many unrelated words here"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "clean", "--input", src, "--output", out,
+                "--min-tokens", "2", "--near-dedup",
+            ]
+        )
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    dropped = {
+        r["doc_id"]: sorted(r["drop_reasons"])
+        for r in spark.read.parquet(f"{out}/dropped").collect()
+    }
+    assert kept == {1, 4}
+    assert dropped[2] == ["near_duplicate"]
+    assert dropped[3] == ["near_duplicate"]
+    assert summary["rows_kept"] == 2 and summary["rows_dropped"] == 2
