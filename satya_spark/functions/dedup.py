@@ -448,26 +448,37 @@ def dup_clusters(
     where keep-one-per-component keeps 1 of 3 correctly).
 
     Scale shape (100 TB design point): iterative min-label
-    propagation PLUS pointer jumping (label ← label's label each
-    round, the path-halving trick from parallel union-find — cf.
-    Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14), so convergence is O(log diameter) rounds, not
-    O(diameter). Near-dup graphs are clique-heavy (diameter 1-2
-    inside a template family), so 2-3 rounds is typical. Each round
-    is two shuffles over fixed-width (node, label) rows — never the
-    documents — and ``localCheckpoint`` cuts the growing lineage so
-    round N's plan does not replay rounds 1..N-1. The driver loop
-    coordinates ROUNDS (each a distributed job), never rows; the
-    per-round convergence check is a 1-row count of changed labels.
-    Raises after ``max_iter`` rounds instead of returning a partial
-    labelling.
+    propagation with two accelerators —
+
+    * **pointer jumping** (label ← label's label each round, the
+      path-halving trick from parallel union-find — cf. Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC'14),
+      so chains converge in O(log diameter) rounds, not O(diameter);
+    * **edge contraction**: after each round both endpoints of every
+      remaining edge are rewritten to their labels, self-loops drop,
+      duplicates collapse. Near-dup pair graphs are CLIQUE-heavy
+      (a template family of c docs emits c² pairs), and a clique
+      collapses to self-loops after ONE round — so the c² pair mass
+      is shuffled once, not once per round (measured at sf0.1:
+      4.45 M pairs over 4.7 k nodes, 6 propagation-only rounds vs
+      2 heavy + small tail with contraction).
+
+    Every per-round structure is a fixed-width (node, label) or
+    (src, dst) row — never the documents — and ``localCheckpoint``
+    cuts the growing lineage so round N's plan does not replay rounds
+    1..N-1. The driver loop coordinates ROUNDS (each a distributed
+    job), never rows; the per-round convergence check is a 1-row
+    count of changed labels. Raises after ``max_iter`` rounds instead
+    of returning a partial labelling.
     """
+    dd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
+        dd.unionByName(dd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # pre-partition on src: every round's neighbor-min join and
+        # the contraction map both key on src, so the big side ships
+        # through the shuffle once (localCheckpoint preserves the
+        # partitioning for the planner)
+        .repartition(F.col("src"))
         .localCheckpoint()
     )
     labels = (
@@ -476,17 +487,24 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    n_edges = edges.count()
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("__nl"))
-        )
-        prop = labels.join(nbr, "node", "left").select(
-            "node",
-            F.col("label").alias("__old"),
-            F.least("label", F.coalesce("__nl", "label")).alias("label"),
-        )
+        if n_edges > 0:
+            nbr = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("__nl"))
+            )
+            prop = labels.join(nbr, "node", "left").select(
+                "node",
+                F.col("label").alias("__old"),
+                F.least("label", F.coalesce("__nl", "label")).alias("label"),
+            )
+        else:
+            # edges fully contracted away: label-flattening rounds only
+            prop = labels.select(
+                "node", F.col("label").alias("__old"), "label"
+            )
         # pointer jump: follow one hop of the label chain (label is
         # always some node's id, so the self-join always resolves)
         hop = prop.select(
@@ -507,6 +525,26 @@ def dup_clusters(
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
+        if n_edges > 0:
+            # contract: an edge (u, v) implies label(u) ~ label(v);
+            # rewriting endpoints through the fresh labels preserves
+            # connectivity while self-loops (intra-cluster mass) drop
+            lsrc = labels.select(
+                F.col("node").alias("src"), F.col("label").alias("__ls")
+            )
+            ldst = labels.select(
+                F.col("node").alias("dst"), F.col("label").alias("__ld")
+            )
+            edges = (
+                edges.join(lsrc, "src")
+                .join(ldst, "dst")
+                .select(F.col("__ls").alias("src"), F.col("__ld").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .repartition(F.col("src"))
+                .localCheckpoint()
+            )
+            n_edges = edges.count()
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds — the pair "
         "graph has pathological diameter; raise max_iter"
