@@ -629,6 +629,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs_from_testdata(spark, sf_dir), threshold=0.6)
 
 
+def q_vector_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column validation (functions/vectors.py): dim / NaN /
+    null-item / L2-norm-bound violation rows over a deterministically
+    corrupted embeddings fixture (docfix.dirty_vecs_*) — the
+    pre-flight check before ANN / SemDeDup. Pure codegen expressions,
+    no shuffle; violations-only output."""
+    from satya_spark.docfix import dirty_vecs_from_testdata
+    from satya_spark.functions.vectors import vector_violations
+
+    return vector_violations(
+        dirty_vecs_from_testdata(spark, sf_dir),
+        dim=64,
+        norm_min=0.5,
+        norm_max=2.0,
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → duplicate clusters (dedup.dup_clusters): connected
     components over the production-banding MinHash pair graph via
@@ -1392,11 +1409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       runner (scripts/check_correctness.py) still sweeps all of them.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # -- tier 1: never driver-verified (17) --
+    # -- tier 1: never driver-verified (18) --
     out.update(
         {
             "mix_cap": q_mix_cap,
             "dup_clusters": q_dup_clusters,
+            "vector_check": q_vector_check,
             "web_params": q_web_params,
             "dedup_minhash_collapsed": q_dedup_minhash_collapsed,
             "dup_spans": q_dup_spans,
@@ -2245,6 +2263,17 @@ def _doc_oracles() -> dict[str, str]:
     from satya_spark.functions.dedup import dup_clusters_sql
 
     o["dup_clusters"] = dup_clusters_sql(_minhash_sql(2))
+    from satya_spark.docfix import dirty_vecs_cte
+    from satya_spark.functions.vectors import vector_violations_sql
+
+    o["vector_check"] = (
+        "WITH "
+        + dirty_vecs_cte("duckdb")
+        + "\n"
+        + vector_violations_sql(
+            "dirty_vecs", dim=64, norm_min=0.5, norm_max=2.0
+        )
+    )
     bit_sums = ", ".join(
         f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
     )

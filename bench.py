@@ -106,6 +106,7 @@ DEDUP_HEADLINE = [
     "pack_segments",  # per-(doc, window) trainer-facing expansion (r4)
     "mix_cap",  # RefinedWeb-style per-domain cap, salted top-n (r5)
     "dup_clusters",  # pairs -> connected components, pointer jumping (r5)
+    "vector_check",  # embedding-column validation battery (r5)
 ]
 
 

@@ -280,3 +280,56 @@ def eval_suite_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("eval_id"),
         F.array_join(F.slice(toks, 4, 10), " ").alias("text"),
     )
+
+
+DIRTY_VEC_CTE = """
+dirty_vecs AS (
+  SELECT vec_id,
+    CASE
+      WHEN vec_id % 50 = 0 THEN embedding[1:32]
+      WHEN vec_id % 50 = 1 THEN list_transform(embedding, x -> x * 4.0::FLOAT)
+      WHEN vec_id % 50 = 2 THEN list_transform(embedding, x -> x * 0.0625::FLOAT)
+      WHEN vec_id % 50 = 3 THEN [NULL::FLOAT] || embedding[2:64]
+      WHEN vec_id % 50 = 4 THEN ['NaN'::FLOAT] || embedding[2:64]
+      WHEN vec_id % 50 = 5 THEN NULL
+      ELSE embedding
+    END AS embedding
+  FROM embeddings
+)
+"""
+
+
+def dirty_vecs_cte(dialect: str = "duckdb") -> str:
+    """Deterministically corrupted embeddings for the vector-validation
+    gate (functions/vectors.py) — the raw fixture is 500 clean
+    unit-norm 64-dim vectors, so the gate would be vacuous without
+    planted defects. Per vec_id % 50 residue: 0 → truncated to 32
+    dims; 1 → scaled ×4 (norm_high); 2 → scaled ×0.0625 (norm_low —
+    both scales are powers of two, so the float multiplies are EXACT
+    in both engines and the norms carry zero cross-dialect rounding
+    risk); 3 → first element NULL; 4 → first element NaN; 5 → whole
+    vector NULL. DuckDB dialect only (list functions diverge) — the
+    Spark side is :func:`dirty_vecs_from_testdata`."""
+    if dialect != "duckdb":
+        raise ValueError("dirty_vecs_cte is the DuckDB oracle side only")
+    return DIRTY_VEC_CTE
+
+
+def dirty_vecs_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`dirty_vecs_cte` (DataFrame API)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = F.col("vec_id") % 50
+    v = F.col("embedding")
+    f32 = lambda c: F.lit(c).cast("float")  # noqa: E731
+    dirty = (
+        F.when(m == 0, F.slice(v, 1, 32))
+        .when(m == 1, F.transform(v, lambda x: x * f32(4.0)))
+        .when(m == 2, F.transform(v, lambda x: x * f32(0.0625)))
+        .when(m == 3, F.concat(F.array(f32(None)), F.slice(v, 2, 63)))
+        .when(m == 4, F.concat(F.array(f32(float("nan"))), F.slice(v, 2, 63)))
+        .when(m == 5, F.lit(None).cast("array<float>"))
+        .otherwise(v)
+    )
+    return df.select("vec_id", dirty.alias("embedding"))

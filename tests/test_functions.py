@@ -1028,3 +1028,43 @@ def test_dup_clusters_string_ids_and_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(long_chain, max_iter=1)
+
+
+def test_vector_violations_battery(spark):
+    """Embedding validation kernels (functions/vectors.py): each
+    defect class fires exactly its own constraint; empty vectors
+    skip the norm checks in both engines (DuckDB list_sum([]) is
+    NULL); clean rows emit nothing."""
+    from satya_spark.functions.vectors import vector_violations
+
+    rows = [
+        (1, [0.6, 0.8]),            # clean, norm 1.0
+        (2, [3.0, 4.0]),            # norm 5.0 > 2.0
+        (3, [0.1, 0.1]),            # norm ~0.141 < 0.5
+        (4, [1.0]),                 # wrong dim (1 != 2)
+        (5, [None, 1.0]),           # null item
+        (6, [float("nan"), 1.0]),   # NaN
+        (7, [float("inf"), 1.0]),   # Inf
+        (8, None),                  # null vector
+        (9, []),                    # wrong dim; norm checks skipped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = vector_violations(df, dim=2, norm_min=0.5, norm_max=2.0)
+    got = {
+        (r["vec_id"], r["constraint_name"]): r["offending_value"]
+        for r in out.collect()
+    }
+    assert got == {
+        (2, "norm_high"): "5.000000",
+        (3, "norm_low"): "0.141421",
+        (4, "wrong_dim"): "1",
+        (5, "null_item"): "null item",
+        (6, "non_finite"): "non-finite item",
+        (7, "non_finite"): "non-finite item",
+        (8, "null_vector"): "null",
+        (9, "wrong_dim"): "0",
+    }
+    # None-parameter constraints are skipped entirely
+    no_norm = vector_violations(df, dim=None, norm_min=None, norm_max=None)
+    names = {r["constraint_name"] for r in no_norm.collect()}
+    assert names == {"null_item", "non_finite", "null_vector"}
