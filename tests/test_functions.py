@@ -1068,3 +1068,16 @@ def test_vector_violations_battery(spark):
     no_norm = vector_violations(df, dim=None, norm_min=None, norm_max=None)
     names = {r["constraint_name"] for r in no_norm.collect()}
     assert names == {"null_item", "non_finite", "null_vector"}
+
+
+def test_dup_clusters_empty_and_self_pairs(spark):
+    """Empty pair set -> empty labelling (schema intact); a self-pair
+    degenerates to a singleton cluster."""
+    from satya_spark.functions.dedup import dup_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = dup_clusters(empty)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0
+    selfp = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+    assert [tuple(r) for r in dup_clusters(selfp).collect()] == [(7, 7)]
