@@ -463,7 +463,7 @@ def phase_stream(cpus: int, tmp_root: str) -> None:
     reps = [full_drain(rep) for rep in range(2)]
     wall = min(r[0] for r in reps)
     totals = reps[0][1]
-    in_dir, out_s = reps[0][2], reps[0][3]
+    in_dir = reps[0][2]
 
     # ground truth over exactly what each stream saw (incl. the
     # replay; both reps drain identical file sets)

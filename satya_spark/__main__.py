@@ -331,23 +331,41 @@ def cmd_clean(args) -> int:
             ).otherwise(F.col("drop_reasons")),
         )
     if args.near_dedup:
-        # MinHash-LSH pairs -> connected components; every non-canonical
-        # cluster member gets a reason (keep = min id, consistent with
-        # --dedup's keep-first). Pairs run on a narrow (id, text)
-        # projection; dup_clusters checkpoints its edge set, so the
-        # upstream hygiene pipeline executes once for the pair scan.
+        # MinHash-LSH pairs -> connected components. Pairs scan the
+        # post-C4 (id, text) projection, NOT the fully-annotated
+        # frame: the hygiene signals are 1:1 per doc so the pair set
+        # is identical, and the repetition/PII/gopher stages don't
+        # execute a second time under dup_clusters' edge checkpoint.
+        # Banding stays the library's recall-first default so the
+        # --near-dedup-threshold flag means what it says (the tight
+        # bands=2 config trades recall for cost; see BENCH.md).
         from .functions.dedup import dup_clusters, minhash_dedup_pairs
 
         pairs = minhash_dedup_pairs(
-            d.select(idc, txt),
+            df.select(idc, txt),
             threshold=args.near_dedup_threshold,
             id_col=idc,
             text_col=txt,
-            bands=2,
+        )
+        clusters = dup_clusters(pairs)
+        # the kept copy must be one the OTHER rules keep: blindly
+        # taking the min id can hand the cluster to a row already
+        # dropped (e.g. too_long), deleting every copy of the content
+        ok = d.select(
+            F.col(idc).alias("doc_id"),
+            (F.size("drop_reasons") == 0).alias("__ok"),
+        )
+        cl = clusters.join(ok, "doc_id")
+        canon = cl.groupBy("cluster_id").agg(
+            F.min(F.when(F.col("__ok"), F.col("doc_id"))).alias("__canon")
         )
         losers = (
-            dup_clusters(pairs)
-            .filter(F.col("doc_id") != F.col("cluster_id"))
+            cl.join(canon, "cluster_id")
+            .filter(
+                F.col("__ok")
+                & F.col("__canon").isNotNull()
+                & (F.col("doc_id") != F.col("__canon"))
+            )
             .select(F.col("doc_id").alias(idc))
             .withColumn("__neardup", F.lit(True))
         )
@@ -457,7 +475,8 @@ def main(argv=None) -> int:
         "--near-dedup",
         action="store_true",
         help="near dedup: MinHash-LSH pairs -> connected components,"
-        " keep the min-id doc per cluster ('near_duplicate' reason)",
+        " keep the min-id doc per cluster that passes the other rules"
+        " ('near_duplicate' reason)",
     )
     c.add_argument(
         "--near-dedup-threshold",

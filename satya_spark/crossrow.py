@@ -196,6 +196,44 @@ def conv_stats(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     )
 
 
+def salted_topn(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    n: int,
+    salt: Column,
+    salt_buckets: int = 32,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Two-phase salted per-group top-n — the shared skew-defusing
+    shape behind :func:`violations_sample` and
+    :func:`satya_spark.functions.mix.cap_per_group`:
+
+    * phase 1 ranks within (partition, salt): a hot group fans out
+      over ``salt_buckets`` tasks, each emitting at most ``n``
+      survivors. Any global top-n row is a per-salt top-n row, so
+      the filter is lossless.
+    * phase 2 re-ranks the ≤ n × salt_buckets candidates per group —
+      a trivially small window.
+
+    ``salt`` is any deterministic integer column (typically
+    ``xxhash64`` of the order keys); it is reduced mod
+    ``salt_buckets`` here. ``order_cols`` must be a total order for
+    the ranks to be reproducible. Output: the input rows that
+    survive, plus their in-group rank ``rank_name`` in 1..n."""
+    w1 = Window.partitionBy(*partition_cols, "__salt").orderBy(*order_cols)
+    phase1 = (
+        df.withColumn("__salt", F.pmod(salt, F.lit(salt_buckets)))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= n)
+        .drop("__salt", "__rn")
+    )
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return phase1.withColumn(rank_name, F.row_number().over(w2)).filter(
+        F.col(rank_name) <= n
+    )
+
+
 def violations_sample(
     viol: DataFrame,
     key_cols: Sequence[str],
@@ -230,20 +268,14 @@ def violations_sample(
     with rk in 1..n.
     """
     order = [F.col(k) for k in key_cols]
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(salt_buckets))
-    w1 = Window.partitionBy("field", "constraint_name", "__salt").orderBy(*order)
-    phase1 = (
-        viol.withColumn("__salt", salt)
-        .withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= n)
-        .drop("__salt", "__rn")
-    )
-    w2 = Window.partitionBy("field", "constraint_name").orderBy(*order)
-    return (
-        phase1.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= n)
-        .select(*key_cols, "field", "constraint_name", "offending_value", "rk")
-    )
+    return salted_topn(
+        viol,
+        ["field", "constraint_name"],
+        order,
+        n,
+        F.xxhash64(*[F.col(k) for k in key_cols]),
+        salt_buckets,
+    ).select(*key_cols, "field", "constraint_name", "offending_value", "rk")
 
 
 def column_quantiles(

@@ -260,15 +260,9 @@ def cap_per_group(
     Scale shape (100 TB design point): a single window over
     ``group_col`` funnels every row of a hot domain through ONE
     reduce task — web corpora are exactly the workload where one
-    domain is 10^9 docs. Same two-phase salted top-n as
-    :func:`satya_spark.crossrow.violations_sample`:
-
-    * phase 1 ranks within (group, salt) — a hot group fans out over
-      ``salt_buckets`` tasks, each emitting at most ``n`` survivors.
-      Any global top-n row is a per-salt top-n row, so the filter is
-      lossless.
-    * phase 2 re-ranks the ≤ n × salt_buckets candidates per group —
-      a trivially small window.
+    domain is 10^9 docs. Defused by the shared two-phase
+    :func:`satya_spark.crossrow.salted_topn` (see its docstring for
+    the losslessness argument).
 
     Full rows ride through phase 1's shuffle once; shuffling a narrow
     projection instead would need a join back (a second full shuffle)
@@ -280,21 +274,19 @@ def cap_per_group(
     shuffling — so phase 1 ships at most n × salt_buckets × maps rows
     and phase 2 at most n × salt_buckets per group.
     """
-    pri = portable_hash64(F.col(id_col).cast("string"), seed)
-    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
-    base = df.withColumn("__pri", pri).withColumn("__salt", salt)
-    w1 = Window.partitionBy(group_col, "__salt").orderBy("__pri", id_col)
-    phase1 = (
-        base.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= n)
-        .drop("__salt", "__rn")
+    from ..crossrow import salted_topn
+
+    base = df.withColumn(
+        "__pri", portable_hash64(F.col(id_col).cast("string"), seed)
     )
-    w2 = Window.partitionBy(group_col).orderBy("__pri", id_col)
-    return (
-        phase1.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= n)
-        .drop("__pri")
-    )
+    return salted_topn(
+        base,
+        [group_col],
+        [F.col("__pri"), F.col(id_col)],
+        n,
+        F.xxhash64(F.col(id_col).cast("string")),
+        salt_buckets,
+    ).drop("__pri")
 
 
 def cap_per_group_sql(

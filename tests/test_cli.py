@@ -316,17 +316,20 @@ def test_cli_validate_incremental(spark, tmp_path):
 
 def test_cli_clean_near_dedup(spark, tmp_path):
     """clean --near-dedup: a near-dup CHAIN (a~b, b~c) collapses to
-    one kept doc via connected components — per-pair dropping would
-    keep zero or double-flag; min-id canonical survives."""
+    ONE kept doc via connected components — per-pair dropping would
+    keep zero or double-flag. The kept copy is the min-id member that
+    passes the OTHER rules: doc 1 is the min id of the cluster but
+    fails --max-tokens, so doc 2 survives (a blind min-id canonical
+    would delete every copy of the content)."""
     import json as _json
 
     from satya_spark.__main__ import main
 
     base = " ".join(f"tok{i}" for i in range(30))
     rows = [
-        (1, base + " alpha"),
-        (2, base + " alpha beta"),    # near dup of 1 and of 3
-        (3, base + " alpha beta gamma"),  # near dup of 2, farther from 1
+        (1, base + " alpha beta gamma delta"),  # 34 tokens: too_long
+        (2, base + " alpha beta"),              # 32 tokens, clean
+        (3, base + " alpha beta gamma"),        # 33 tokens, near dup of 2
         (4, "completely different text with many unrelated words here"),
     ]
     src = str(tmp_path / "docs")
@@ -340,7 +343,7 @@ def test_cli_clean_near_dedup(spark, tmp_path):
         rc = main(
             [
                 "clean", "--input", src, "--output", out,
-                "--min-tokens", "2", "--near-dedup",
+                "--min-tokens", "2", "--max-tokens", "33", "--near-dedup",
             ]
         )
     assert rc == 0
@@ -350,7 +353,7 @@ def test_cli_clean_near_dedup(spark, tmp_path):
         r["doc_id"]: sorted(r["drop_reasons"])
         for r in spark.read.parquet(f"{out}/dropped").collect()
     }
-    assert kept == {1, 4}
-    assert dropped[2] == ["near_duplicate"]
+    assert kept == {2, 4}
+    assert dropped[1] == ["too_long"]       # NOT also near_duplicate
     assert dropped[3] == ["near_duplicate"]
     assert summary["rows_kept"] == 2 and summary["rows_dropped"] == 2
