@@ -356,3 +356,37 @@ def test_ngram_lambdas_never_tokenize_per_element(spark):
             assert "regexp_replace" not in span and "split(" not in span, (
                 "tokenization inlined into a per-element lambda:\n" + span[:500]
             )
+
+
+def test_cap_per_group_windowgrouplimit_below_exchange(spark):
+    """The per-domain cap's rank filters must compile to
+    WindowGroupLimit nodes BELOW their exchanges — each map task
+    pre-prunes to its local top-n per (group, salt) before anything
+    ships (the property cap_per_group's docstring promises)."""
+    from satya_spark.functions.mix import cap_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _executed_plan(cap_per_group(docs, group_col="source", n=5))
+    final_plan = plan.split("== Initial Plan ==")[0]
+    lines = final_plan.splitlines()
+    wgl = [i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln]
+    exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    assert len(exch) == 2, plan  # (group, salt) then (group)
+    # plan prints top-down: a WindowGroupLimit BELOW an Exchange
+    # (map-side partial) appears on a LATER line than that Exchange
+    assert any(i > max(exch) for i in wgl), (
+        "no map-side partial top-n below the deepest Exchange:\n" + plan
+    )
+
+
+def test_vector_violations_zero_exchange(spark):
+    """The embedding validation battery is pure per-row expression
+    work — its plan must contain NO Exchange (and no Python UDF)."""
+    from satya_spark.functions.vectors import vector_violations
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _executed_plan(
+        vector_violations(emb, dim=64, norm_min=0.5, norm_max=2.0)
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
