@@ -861,3 +861,48 @@ def test_dup_clusters_matches_union_find(spark, edges):
         r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()
     }
     assert got == _py_components(edges)
+
+
+# --- cap_per_group vs pure-Python top-n ----------------------------------
+
+_cap_rows = st.lists(
+    st.tuples(st.integers(0, 400), st.sampled_from(["a", "b", "c", "hot"])),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda r: r[0],
+)
+
+
+def _py_cap(rows, n, seed="cap"):
+    import hashlib
+
+    def pri(doc_id):
+        h = hashlib.md5((seed + str(doc_id)).encode()).hexdigest()
+        return int(h[:15], 16)
+
+    out = {}
+    by_group: dict = {}
+    for doc_id, grp in rows:
+        by_group.setdefault(grp, []).append(doc_id)
+    for grp, ids in by_group.items():
+        for rk, doc_id in enumerate(
+            sorted(ids, key=lambda i: (pri(i), i))[:n], start=1
+        ):
+            out[doc_id] = (grp, rk)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_cap_rows, n=st.integers(1, 6))
+def test_cap_per_group_matches_python_oracle(spark, rows, n):
+    from satya_spark.functions.mix import cap_per_group
+
+    df = spark.createDataFrame(
+        [(int(i), f"text {i}", "en", g) for i, g in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["rk"])
+        for r in cap_per_group(df, group_col="source", n=n).collect()
+    }
+    assert got == _py_cap(rows, n)
