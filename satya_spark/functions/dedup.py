@@ -230,6 +230,12 @@ def lsh_candidate_pairs(
     (same arguments) to report exactly which (band, bucket, size)
     groups were dropped, and log that count next to the result.
     Default None = exact candidate set (the oracle-gated config)."""
+    # materialize the (id, band, bucket) frame ONCE before the
+    # self-join: its two sides plan as independent subtrees, so
+    # without this the tokenize + k-seed md5 minhash pipeline runs
+    # twice (probe side + broadcast build — measured in the simhash
+    # twin; same shape here). Fixed-width rows (id + int + 32-char
+    # bucket), ~40 B/doc/band at any corpus size.
     exploded = _lsh_band_buckets(df, id_col, text_col, k, bands)
     if max_bucket_size is not None:
         # window count shares the (band, bucket) shuffle with the join
@@ -299,16 +305,30 @@ def minhash_dedup_pairs(
     setting when the corpus is known to be duplicate-rich, and it is
     oracle-gated separately (``dedup_minhash_tight``)."""
     cands = lsh_candidate_pairs(df, id_col, text_col, k=k, bands=bands)
+    # verify on 64-bit token hashes, not token strings: |A∩B| and
+    # |A∪B| over injectively-mapped sets equal the string-set counts,
+    # so jac is unchanged, while the per-pair array_intersect compares
+    # 8-byte longs instead of hashing/comparing strings (the verify
+    # step runs per CANDIDATE — millions of times — where the hashing
+    # projection runs once per document). Collision bound: a false
+    # intersection needs two distinct tokens with equal xxhash64 in
+    # the same pair; with V distinct tokens corpus-wide the chance of
+    # ANY colliding pair is ≲ V²/2⁶⁵ (V=10⁶ → ~3e-8). Union via
+    # |A|+|B|−|A∩B| (both sides are already distinct arrays) instead
+    # of array_distinct(concat(...)) — half the per-pair set work.
     toks = df.select(
         F.col(id_col),
-        F.array_distinct(tokens_ws(F.col(text_col))).alias("toks"),
+        F.transform(
+            F.array_distinct(tokens_ws(F.col(text_col))),
+            lambda t: F.xxhash64(t),
+        ).alias("toks"),
     )
     j = (
         cands.join(toks.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
         .join(toks.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_distinct(F.concat("toks_a", "toks_b")))
+    union = F.size("toks_a") + F.size("toks_b") - inter
     # guard 0/0 (two empty-token docs collide in the null-signature
     # bucket): NULL jac → dropped by the threshold filter. Under ANSI
     # mode an unguarded divide would abort the job instead.
@@ -472,13 +492,28 @@ def dup_clusters(
     of returning a partial labelling.
     """
     dd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
+    # both directions in ONE pass via explode — NOT a self-union:
+    # a self-union re-analyzes the (possibly expensive) upstream pair
+    # plan with fresh lambda-variable ids, which defeats sameResult /
+    # cache matching, so each union branch recomputes the entire
+    # LSH+verify pipeline (measured at sf0.1: the union-shaped edge
+    # build cost 14.3 s vs 1.5 s for this shape — the pair pipeline
+    # ran twice). The explode doubles rows in a narrow map after the
+    # distinct's single exchange; no further repartition — the
+    # per-round joins let AQE pick the strategy from runtime sizes
+    # (labels broadcast at test scale, exchange at cluster scale).
     edges = (
-        dd.unionByName(dd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        # pre-partition on src: every round's neighbor-min join and
-        # the contraction map both key on src, so the big side ships
-        # through the shuffle once (localCheckpoint preserves the
-        # partitioning for the planner)
-        .repartition(F.col("src"))
+        dd.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()
     )
     labels = (
@@ -541,7 +576,6 @@ def dup_clusters(
                 .select(F.col("__ls").alias("src"), F.col("__ld").alias("dst"))
                 .filter(F.col("src") != F.col("dst"))
                 .distinct()
-                .repartition(F.col("src"))
                 .localCheckpoint()
             )
             n_edges = edges.count()
@@ -647,7 +681,16 @@ def simhash_pairs(
     assert max_hamming < chunks and bits % chunks == 0 and bits <= 62
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    sigs = simhash_signatures(df, id_col, text_col, bits=bits)
+    # materialize signatures ONCE before the self-join: a self-join
+    # plans its two sides as independent subtrees, so without this the
+    # token-explode + per-token md5 + 'bits' bit-sums pipeline runs
+    # TWICE (once for the probe side, once to build the broadcast).
+    # The signature frame is fixed-width (id + one long) — 16 bytes a
+    # document at any corpus size, the cheapest thing in the pipeline
+    # to pin. (localCheckpoint blocks are executor-local; for long
+    # cluster runs where executor loss matters, swap for a reliable
+    # checkpoint dir — same note as dup_clusters.)
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint()
     chunked = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -668,15 +711,19 @@ def simhash_pairs(
     right = chunked.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "ci", "cv"
     )
-    cand = (
+    # hamming filter BEFORE the distinct: bit_count is one codegen'd
+    # instruction per candidate occurrence (≤ chunks per pair), while
+    # the distinct is a shuffle — filtering first shrinks the exchange
+    # from every bucket-join emission to only the pairs that pass the
+    # hamming bound (sf0.1: ~8k rows instead of all candidates), and
+    # drops the two 8-byte signature columns from the shuffled rows.
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
         chunked.join(right, ["ci", "cv"])
         .filter(F.col(id_col) < F.col("id_b"))
-        .select(F.col(id_col).alias("id_a"), "id_b", "simhash", "sim_b")
+        .select(F.col(id_col).alias("id_a"), "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b"))).cast("int")
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 

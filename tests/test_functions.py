@@ -217,6 +217,26 @@ def test_minhash_dedup_finds_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_verify_jaccard_matches_string_sets(spark):
+    # the verify step intersects 64-bit token HASHES (r6 optimization);
+    # the emitted jac must equal the exact string-token-set jaccard
+    texts = {
+        1: "a b c d e f",
+        2: "a b c d e g",  # 5/7 with 1
+        3: "a b x y z q",  # 3/9 with 1
+        4: "a b c d e f",  # exact dup of 1
+    }
+    df = _docs(spark, [(i, t, "en") for i, t in texts.items()])
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in dedup.minhash_dedup_pairs(df, threshold=0.0).collect()
+    }
+    for (a, b), jac in got.items():
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        assert jac == round(len(sa & sb) / len(sa | sb), 6), (a, b)
+    assert got[(1, 4)] == 1.0 and got[(1, 2)] == round(5 / 7, 6)
+
+
 def _collapsed_equiv_fixture(spark):
     base = " ".join(f"tok{i}" for i in range(30))
     other = " ".join(f"w{i}" for i in range(25))
