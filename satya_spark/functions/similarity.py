@@ -125,18 +125,32 @@ def lsh_bucket(
     vec: Column, n_planes: int, dims: int, seed: str = "ann"
 ) -> Column:
     """Sign sketch: bit_p = [vec · plane_p > 0]; bucket = Σ bit·2^p.
-    Planes are constants folded into the plan — zero runtime cost
-    beyond the dot products."""
+
+    The dot product is a ``zip_with`` + ``aggregate`` left fold over a
+    plane ARRAY literal, not ``dims`` inlined ``element_at``-multiply
+    terms: the inlined form built an n_planes×dims-term expression
+    tree whose Catalyst analysis/optimization alone cost ~3.7 s per
+    query build at dims=64×4 planes (measured r6 — more than 3× the
+    execution), re-paid on every plan because literals defeat plan
+    caching. The fold keeps the tree ~5× smaller at identical values:
+    the HOF evaluates left-to-right exactly like the old ``+`` chain
+    (0.0 + t₁ ≡ t₁ for every float, and a −0.0 sum still fails
+    ``> 0``), so bucket bits — and the SQL-oracle parity the expr
+    path exists for — are unchanged. Per-row cost is CodegenFallback
+    HOF eval; this path is the ORACLE TWIN for small corpora — the
+    scale path is the numpy sketch (``sketch_buckets_np`` /
+    ``lsh_topk(impl='arrow')``)."""
     bucket = F.lit(0)
+    vd = _to_double(vec)
     for p in range(n_planes):
-        comps = [
-            F.element_at(vec, d + 1).cast("double")
-            * F.lit(_plane_component(seed, p, d))
-            for d in range(dims)
-        ]
-        s = comps[0]
-        for c in comps[1:]:
-            s = s + c
+        plane = F.array(
+            *[F.lit(_plane_component(seed, p, d)) for d in range(dims)]
+        )
+        s = F.aggregate(
+            F.zip_with(vd, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
 
@@ -166,7 +180,7 @@ def sketch_buckets_np(
     interpreted eval — 1.75x faster at dims=64 x 24 planes, sf0.01.
     Still far behind the matmul; kept as a negative result.)"""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from typing import Iterator
 
     planes = np.array(
@@ -181,24 +195,29 @@ def sketch_buckets_np(
     pow2 = 2 ** np.arange(n_planes)
     bands = len(seeds)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    # mapInArrow (r6): flat values buffer → one reshape, no pandas
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for b in batches:
+            n = b.num_rows
+            if not n:
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dims)
-            ids = pdf[id_col].to_numpy()
-            frames = []
+            x = _vec_matrix_np(b.column(1), n)  # (n, dims)
+            ids = b.column(0)
             for bi in range(bands):
                 s = x @ planes[bi].T  # (n, n_planes)
                 bucket = ((s > 0) * pow2).sum(axis=1).astype(np.int32)
-                frames.append(
-                    pd.DataFrame(
-                        {id_col: ids, "band": np.int32(bi), "bucket": bucket}
-                    )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(
+                            np.full(n, bi, dtype=np.int32), type=pa.int32()
+                        ),
+                        pa.array(bucket, type=pa.int32()),
+                    ],
+                    names=[id_col, "band", "bucket"],
                 )
-            yield pd.concat(frames, ignore_index=True)
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInArrow(
         run, schema=f"{id_col} long, band int, bucket int"
     )
 
@@ -300,6 +319,29 @@ def lsh_topk(
 # --- IVF (inverted-file) index ---------------------------------------------
 
 
+def _vec_matrix_np(col, n_rows: int):
+    """pyarrow list<float> column → (n_rows, dims) float64 matrix.
+
+    Zero-copy shape: the Arrow list column is ONE contiguous values
+    buffer plus offsets (guide §4.2's re-slice property) — when every
+    row has the same length and no nulls, the matrix is a single
+    ``reshape`` over the flattened values, no per-row boxing. Ragged /
+    null rows fall back to the row-by-row path (same behavior the
+    previous ``np.stack(pandas)`` conversion had)."""
+    import numpy as np
+
+    try:
+        if col.null_count == 0 and n_rows > 0:
+            lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+            if (lengths == lengths[0]).all() and lengths[0] > 0:
+                dims = int(lengths[0])
+                vals = col.flatten().to_numpy(zero_copy_only=False)
+                return vals.astype(np.float64).reshape(n_rows, dims)
+    except (AttributeError, ValueError):  # exotic layout → row path
+        pass
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
 def _assign_lists_np(
     df: DataFrame,
     centroids: list[list[float]],
@@ -318,28 +360,39 @@ def _assign_lists_np(
     Parity with the expression path: cosines are rounded to 6 decimals
     before the argmax and ties break to the SMALLEST centroid index
     (numpy argmax returns the first occurrence of the max — the same
-    order ``_nearest_centroid``'s when-chain scans)."""
+    order ``_nearest_centroid``'s when-chain scans).
+
+    ``mapInArrow``, not ``mapInPandas`` (r6, guide §4.1/4.2): the
+    embedding column stays a flat Arrow values buffer end to end —
+    matrix via one reshape (``_vec_matrix_np``), pass-through without
+    per-row list boxing, and the worker imports numpy+pyarrow only
+    (no pandas), which also shrinks the cold-start this build pays as
+    the session's first Python stage. Assignments are bit-identical:
+    same float64 matmul over the same values."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from typing import Iterator
 
     C = np.asarray(centroids, dtype=np.float64)  # (k, dims)
     cn = np.sqrt((C * C).sum(axis=1))
     cn[cn == 0] = 1.0
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for b in batches:
+            n = b.num_rows
+            if not n:
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x = _vec_matrix_np(b.column(1), n)
             xn = np.sqrt((x * x).sum(axis=1))
             xn[xn == 0] = 1.0
             sims = np.round(x @ C.T / (xn[:, None] * cn[None, :]), 6)
-            out = pdf[[id_col, vec_col]].copy()
-            out[out_col] = sims.argmax(axis=1).astype(np.int32)
-            yield out
+            lists = pa.array(sims.argmax(axis=1).astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), lists],
+                names=[id_col, vec_col, out_col],
+            )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInArrow(
         run, schema=f"{id_col} long, {vec_col} array<float>, {out_col} int"
     )
 
@@ -401,7 +454,7 @@ def _ivf_score_np(
     argmax, else a pre-existing ``list_col`` column (the persisted
     index layout)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from typing import Iterator
 
     if assign is None and centroids is not None:
@@ -416,19 +469,23 @@ def _ivf_score_np(
 
     has_list = assign is None
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    # mapInArrow (r6): the embedding column reaches numpy via one
+    # flatten+reshape instead of per-row pandas list boxing, and the
+    # worker needs no pandas import — same scores, same tie-breaks.
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for b in batches:
+            n = b.num_rows
+            if not n:
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x = _vec_matrix_np(b.column(1), n)
             xn = np.sqrt((x * x).sum(axis=1))
             xn[xn == 0] = 1.0
-            ids = pdf[id_col].to_numpy()
+            ids = b.column(0).to_numpy(zero_copy_only=False)
             if has_list:
-                lists = pdf[list_col].to_numpy()
+                lists = b.column(2).to_numpy(zero_copy_only=False)
             else:
                 lists = assign(x, xn)
-            frames = []
+            out_q, out_i, out_s = [], [], []
             for qid, qv, probes in qinfo:
                 mask = np.isin(lists, probes) & (ids != qid)
                 if not mask.any():
@@ -437,20 +494,24 @@ def _ivf_score_np(
                 qn = np.sqrt((qv * qv).sum()) or 1.0
                 sims = np.round(x[sel] @ qv / (xn[sel] * qn), 6)
                 order = np.lexsort((ids[sel], -sims))[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id_col: qid,
-                            id_col: ids[sel][order],
-                            "cos_sim": sims[order],
-                        }
-                    )
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_i.append(ids[sel][order])
+                out_s.append(sims[order])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(
+                            np.concatenate(out_i).astype(np.int64),
+                            type=pa.int64(),
+                        ),
+                        pa.array(np.concatenate(out_s), type=pa.float64()),
+                    ],
+                    names=[query_id_col, id_col, "cos_sim"],
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
 
     cols = [id_col, vec_col] + ([list_col] if has_list else [])
-    local = corpus.select(*cols).mapInPandas(
+    local = corpus.select(*cols).mapInArrow(
         run, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -517,12 +578,19 @@ def train_centroids(
 
 
 def _cos_to_const(vec: Column, cent: list[float]) -> Column:
+    """cosine(vec, constant centroid). Same zip_with+aggregate fold
+    shape as :func:`lsh_bucket` (see its planning note): the fold
+    adds terms left-to-right exactly like the previous inlined
+    ``+``-chain (0.0 + t₁ ≡ t₁), so values — and SQL-oracle parity —
+    are unchanged while the k×dims expression tree shrinks ~5×."""
     import math
 
-    num = None
-    for d, w in enumerate(cent):
-        term = F.element_at(vec, d + 1).cast("double") * F.lit(float(w))
-        num = term if num is None else num + term
+    c = F.array(*[F.lit(float(w)) for w in cent])
+    num = F.aggregate(
+        F.zip_with(_to_double(vec), c, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     cn = math.sqrt(sum(w * w for w in cent)) or 1.0
     return num / (norm(vec) * F.lit(cn))
 
@@ -792,15 +860,18 @@ def _pair_cosine_verify(j: DataFrame, threshold: float, impl: str) -> DataFrame:
     6-decimal rounding on both paths."""
     if impl == "arrow":
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
         from typing import Iterator
 
-        def verify(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-            for pdf in batches:
-                if not len(pdf):
+        # mapInArrow (r6): both vector columns land as flat buffers →
+        # two reshapes, no per-row pandas boxing; same values out.
+        def verify(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+            for rb in batches:
+                n = rb.num_rows
+                if not n:
                     continue
-                a = np.stack(pdf["vec_a"].to_numpy()).astype(np.float64)
-                b = np.stack(pdf["vec_b"].to_numpy()).astype(np.float64)
+                a = _vec_matrix_np(rb.column(2), n)
+                b = _vec_matrix_np(rb.column(3), n)
                 an = np.sqrt((a * a).sum(axis=1))
                 bn = np.sqrt((b * b).sum(axis=1))
                 an[an == 0] = 1.0
@@ -810,15 +881,17 @@ def _pair_cosine_verify(j: DataFrame, threshold: float, impl: str) -> DataFrame:
                 )
                 m = sims >= threshold
                 if m.any():
-                    yield pd.DataFrame(
-                        {
-                            "id_a": pdf["id_a"].to_numpy()[m],
-                            "id_b": pdf["id_b"].to_numpy()[m],
-                            "cos_sim": sims[m],
-                        }
+                    idx = np.nonzero(m)[0]
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            rb.column(0).take(pa.array(idx)),
+                            rb.column(1).take(pa.array(idx)),
+                            pa.array(sims[m], type=pa.float64()),
+                        ],
+                        names=["id_a", "id_b", "cos_sim"],
                     )
 
-        return j.select("id_a", "id_b", "vec_a", "vec_b").mapInPandas(
+        return j.select("id_a", "id_b", "vec_a", "vec_b").mapInArrow(
             verify, schema="id_a long, id_b long, cos_sim double"
         )
     sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
