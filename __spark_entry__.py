@@ -659,7 +659,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup_pairs(
         docs_from_testdata(spark, sf_dir), threshold=0.6, bands=2
     )
-    return dup_clusters(pairs)
+    # assume_distinct: minhash pairs are unique by construction (the
+    # candidate set is distinct before the verify join), so the CC
+    # edge build skips its defensive distinct exchange (r6)
+    return dup_clusters(pairs, assume_distinct=True)
 
 
 def q_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:

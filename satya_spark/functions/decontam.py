@@ -60,6 +60,25 @@ def word_ngrams_from_tokens(toks: Column, n: int = DECONTAM_N) -> Column:
     return F.coalesce(grams, F.array().cast("array<string>"))
 
 
+def word_ngram_hashes_from_tokens(toks: Column, n: int = DECONTAM_N) -> Column:
+    """Array of 64-bit n-gram HASHES of a token-array column: same
+    zip-of-shifted-slices shape as :func:`word_ngrams_from_tokens`,
+    but each gram is keyed by ``xxhash64`` over its n token fields
+    instead of materializing the space-joined string. Injective on
+    gram tuples up to hash collision (tokens are whitespace-free, so
+    tuple identity ⟺ string identity); distinct-counts over these
+    hashes equal distinct-counts over the strings short of a
+    collision. Used by the decontamination probe join."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, k, cnt).alias(f"t{k}") for k in range(1, n + 1)]
+    )
+    grams = F.transform(
+        z, lambda s: F.xxhash64(*[s[f"t{k}"] for k in range(1, n + 1)])
+    )
+    return F.coalesce(grams, F.array().cast("array<bigint>"))
+
+
 def word_ngrams(col: Column, n: int = DECONTAM_N) -> Column:
     """Word n-grams of the normalized text. Prefer projecting
     :func:`~satya_spark.functions.text.tokens_ws` to a real column and
@@ -104,34 +123,66 @@ def contamination_report(
     against another), pass ``broadcast=False``: the probe becomes a
     shuffle hash join on the gram key and AQE picks the strategy.
     """
+    # both sides key on xxhash64 OF THE TOKEN TUPLE (r6): a gram's
+    # identity is its n tokens, and tokens contain no spaces, so the
+    # space-joined string is injective on tuples — hashing the zipped
+    # struct fields directly skips building every gram string AND the
+    # md5→conv parse per gram (the md5-derived key was the dominant
+    # corpus-side cost: 1.5 s of the 2.2 s query at sf0.1). Join
+    # results differ from string-keyed only on an xxhash64 collision
+    # between distinct grams (≲ V_corpus·V_bench/2⁶⁴ ≈ 1e-9 here);
+    # the DuckDB oracle keeps its md5 twin — final report rows match.
     bench_grams = (
         bench.select(tokens_ws(F.col(bench_text_col)).alias("__toks"))
         .select(
             F.explode(
-                F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), n))
-            ).alias("__g")
+                F.array_distinct(
+                    word_ngram_hashes_from_tokens(F.col("__toks"), n)
+                )
+            ).alias("__gh")
         )
-        .select(portable_hash64(F.col("__g"), "dc").alias("__gh"))
         .distinct()
     )
+    # materialize the per-doc gram-hash arrays before the explode:
+    # projection collapse re-fuses the zip+transform gram pipeline
+    # into the Generate through every logical barrier (even a
+    # repartition), and a Generate evaluating that HOF chain inline
+    # measured ~5× the cost of the array build itself (1.7 s vs
+    # 0.3 s at sf0.1, r6). The checkpoint stores 8-byte hashes per
+    # gram — about one token's width per token, i.e. one extra
+    # corpus-width pass at scale, repaid by the explode+probe stage.
     doc_grams = docs.select(
         F.col(id_col), tokens_ws(F.col(text_col)).alias("__toks")
     ).select(
         F.col(id_col),
-        F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), n)).alias(
-            "__grams"
-        ),
-    )
+        F.array_distinct(
+            word_ngram_hashes_from_tokens(F.col("__toks"), n)
+        ).alias("__grams"),
+    ).localCheckpoint()
+    # explode WITHOUT a sibling size() projection: projection collapse
+    # inlines the gram-building expression into the Generate, so a
+    # `size(__grams)` column next to `explode(__grams)` evaluates the
+    # whole zip+hash pipeline twice per row (measured r6: the explode
+    # stage was 1.74 s vs 0.36 s for the array build alone at sf0.1).
+    # n_grams is recovered for free as count() per doc — the array is
+    # already distinct, so exploded-row count == size. The probe
+    # becomes a LEFT join + hit flag; the groupBy is counts-only and
+    # map-side combinable (one partial row per doc per partition), so
+    # the 100 TB shape survives — the shuffle carries per-doc counts,
+    # not gram strings.
     exploded = doc_grams.select(
-        F.col(id_col),
-        F.size("__grams").alias("n_grams"),
-        F.explode("__grams").alias("__g"),
-    ).withColumn("__gh", portable_hash64(F.col("__g"), "dc"))
-    probe = F.broadcast(bench_grams) if broadcast else bench_grams
-    hits = exploded.join(probe, "__gh", "inner")
+        F.col(id_col), F.explode("__grams").alias("__gh")
+    )
+    probe = bench_grams.withColumn("__hit", F.lit(1))
+    probe = F.broadcast(probe) if broadcast else probe
+    j = exploded.join(probe, "__gh", "left")
     return (
-        hits.groupBy(id_col, "n_grams")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
         .select(
             F.col(id_col),
             F.col("n_grams").cast("long").alias("n_grams"),

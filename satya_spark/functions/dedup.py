@@ -396,7 +396,13 @@ def minhash_dedup_pairs_collapsed(
     )
     # fp is scanned three times (groups + both member sides) and sits
     # atop the caller's (possibly expensive) upstream plan — persist
-    # the tiny (id, fp, text) projection to pin upstream to one run
+    # the tiny (id, fp, text) projection to pin upstream to one run.
+    # persist (lazy), NOT localCheckpoint: every reference below goes
+    # through this same DataFrame object, so cache lookup matches on
+    # node identity even though the fingerprint plan carries lambda
+    # HOFs (a re-ANALYZED branch — e.g. a self-union — would not
+    # match; that is why `sym` below uses explode, not union; an
+    # eager checkpoint also measured ~2x slower here, r6).
     fp = df.select(
         F.col(id_col), toks_fp.alias("__fp"), F.col(text_col)
     ).persist()
@@ -415,13 +421,24 @@ def minhash_dedup_pairs_collapsed(
     cross = rep_pairs.select(
         F.col("id_a").alias("fp_a"), F.col("id_b").alias("fp_b"), "jac"
     )
-    # both orientations: member ids interleave across groups, so the
-    # final id_a < id_b filter must see each group pair both ways
-    sym = cross.unionByName(
-        cross.select(
-            F.col("fp_b").alias("fp_a"), F.col("fp_a").alias("fp_b"), "jac"
-        )
-    )
+    # both orientations IN ONE PASS via explode (member ids interleave
+    # across groups, so the final id_a < id_b filter must see each
+    # group pair both ways). NOT a self-union: the union's re-analyzed
+    # second branch fails sameResult against the first (lambda ids),
+    # so the whole rep-level LSH+verify pipeline would run twice —
+    # the same defect fixed in dup_clusters' edge build this round.
+    sym = cross.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("fp_a"), F.col("fp_b"), F.col("jac")),
+                F.struct(
+                    F.col("fp_b").alias("fp_a"),
+                    F.col("fp_a").alias("fp_b"),
+                    F.col("jac"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.fp_a", "e.fp_b", "e.jac")
     self_edges = groups.filter(
         (F.col("__n") >= 2)
         & (F.size(F.array_distinct(tokens_ws(F.col(text_col)))) > 0)
@@ -451,6 +468,8 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    assume_distinct: bool = False,
+    contract_min_edges: int = 65536,
 ) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: connected components over
     the pair graph, labelling every member with the minimum id of its
@@ -491,7 +510,15 @@ def dup_clusters(
     count of changed labels. Raises after ``max_iter`` rounds instead
     of returning a partial labelling.
     """
-    dd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
+    dd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if not assume_distinct:
+        # callers whose pair source is provably duplicate-free (e.g.
+        # minhash_dedup_pairs: its candidates are distinct before the
+        # verify join) pass assume_distinct=True and skip this
+        # exchange; duplicate edges would not change the components,
+        # only per-round shuffle mass, so the flag is a pure
+        # cost knob — but the default stays safe for arbitrary input.
+        dd = dd.distinct()
     # both directions in ONE pass via explode — NOT a self-union:
     # a self-union re-analyzes the (possibly expensive) upstream pair
     # plan with fresh lambda-variable ids, which defeats sameResult /
@@ -523,13 +550,22 @@ def dup_clusters(
         .localCheckpoint()
     )
     n_edges = edges.count()
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         if n_edges > 0:
-            nbr = (
-                edges.join(labels, edges.src == labels.node)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("label").alias("__nl"))
-            )
+            if rnd == 0:
+                # round 0: labels are the identity by construction, so
+                # min-label-of-neighbors is just min(src) per dst — a
+                # plain map-side-combining groupBy, no join over the
+                # (clique-heavy, largest-of-the-run) edge set
+                nbr = edges.groupBy(F.col("dst").alias("node")).agg(
+                    F.min("src").alias("__nl")
+                )
+            else:
+                nbr = (
+                    edges.join(labels, edges.src == labels.node)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("label").alias("__nl"))
+                )
             prop = labels.join(nbr, "node", "left").select(
                 "node",
                 F.col("label").alias("__old"),
@@ -560,10 +596,17 @@ def dup_clusters(
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
-        if n_edges > 0:
+        if n_edges > contract_min_edges or (n_edges > 0 and rnd == 0):
             # contract: an edge (u, v) implies label(u) ~ label(v);
             # rewriting endpoints through the fresh labels preserves
-            # connectivity while self-loops (intra-cluster mass) drop
+            # connectivity while self-loops (intra-cluster mass) drop.
+            # Contraction is an ACCELERATOR, not required for
+            # convergence (propagation+jumping over static edges is
+            # complete) — below ``contract_min_edges`` the per-round
+            # nbr join is already trivial and the contraction's two
+            # joins + distinct + checkpoint + count cost more jobs
+            # than they save, so small graphs skip it after the
+            # round-0 clique collapse.
             lsrc = labels.select(
                 F.col("node").alias("src"), F.col("label").alias("__ls")
             )

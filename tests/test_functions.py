@@ -1017,6 +1017,31 @@ def test_dup_clusters_chain_and_clique(spark):
     }
 
 
+def test_dup_clusters_r6_knobs(spark):
+    """The r6 cost knobs must not change the labelling: duplicate
+    input pairs under assume_distinct=True (dup edges are harmless to
+    CC, only shuffle mass), and contract_min_edges=0 forcing
+    contraction every round vs a huge value disabling it after
+    round 0."""
+    from satya_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 2), (3, 4), (10, 11), (2, 3)],
+        "id_a long, id_b long",
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    for kw in (
+        {"assume_distinct": True},
+        {"contract_min_edges": 0},
+        {"contract_min_edges": 10**9},
+    ):
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, **kw).collect()
+        }
+        assert out == want, kw
+
+
 def test_dup_clusters_long_chain_pointer_jump(spark):
     """A 33-node chain (diameter 32) must converge well inside
     max_iter=25 — pointer jumping gives O(log diameter) rounds where
