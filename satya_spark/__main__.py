@@ -351,10 +351,15 @@ def cmd_clean(args) -> int:
         # the kept copy must be one the OTHER rules keep: blindly
         # taking the min id can hand the cluster to a row already
         # dropped (e.g. too_long), deleting every copy of the content
+        # localCheckpoint pins the annotation pipeline to ONE run:
+        # without it this projection re-enters the output plan via the
+        # losers join below, and the hygiene subtree (repetition
+        # explode, PII regexes, gopher) executes twice per action
+        # (ADVICE r5). Fixed-width (id, bool) rows — cheap at any scale.
         ok = d.select(
             F.col(idc).alias("doc_id"),
             (F.size("drop_reasons") == 0).alias("__ok"),
-        )
+        ).localCheckpoint()
         cl = clusters.join(ok, "doc_id")
         canon = cl.groupBy("cluster_id").agg(
             F.min(F.when(F.col("__ok"), F.col("doc_id"))).alias("__canon")

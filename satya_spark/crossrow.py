@@ -174,21 +174,21 @@ def auto_salt_buckets(
 def conv_stats(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     """Per-conversation stats for drift checks: n_turns, max_turn_idx,
     sum/avg text length. avg is computed as exact-integer sum / count
-    (deterministic across partition orders — no float summation)."""
-    out = salted_agg(
-        df,
-        "conv_id",
-        partials={
-            "pc": F.count(F.lit(1)),
-            "pmax": F.max("turn_idx"),
-            "plen": F.sum(F.coalesce(F.length("text"), F.lit(0))),
-        },
-        finals={
-            "n_turns": F.sum("pc"),
-            "max_turn_idx": F.max("pmax"),
-            "sum_text_len": F.sum("plen"),
-        },
-        salt_buckets=salt_buckets,
+    (deterministic across partition orders — no float summation).
+
+    ONE exchange (r6): count/max/sum are algebraic, so Spark's
+    map-side partial aggregation already bounds a hot conversation's
+    reduce-side load to ≤ one partial row per map task — the salted
+    two-phase (:func:`salted_agg`) added a second full exchange for
+    skew that partial aggregation defuses by itself. Salting remains
+    necessary for WINDOW-shaped per-group work (:func:`salted_topn`),
+    where no partial aggregation exists. ``salt_buckets`` is retained
+    for API stability and unused."""
+    del salt_buckets  # algebraic aggs need no salt; see docstring
+    out = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("sum_text_len"),
     )
     return out.withColumn(
         "avg_text_len",
@@ -347,13 +347,14 @@ def top_violating_groups(
     driver merge of ≤ partitions × n rows. No full sort, no single
     hot reduce task.
     """
-    counts = salted_agg(
-        viol,
-        group_col,
-        partials={"pc": F.count(F.lit(1))},
-        finals={"n_violations": F.sum("pc")},
-        salt_buckets=salt_buckets,
-        salt_source=salt_source,
+    # ONE exchange (r6): a pure count is algebraic — map-side partial
+    # aggregation bounds any hot group's reduce load by the map-task
+    # count, so the salted two-phase's second exchange bought nothing
+    # (same reasoning as conv_stats; salting stays for window-shaped
+    # top-n work only). salt args retained for API stability, unused.
+    del salt_buckets, salt_source
+    counts = viol.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_violations")
     )
     return counts.orderBy(
         F.col("n_violations").desc(), F.col(group_col)

@@ -49,8 +49,18 @@ def _l2(vec: Column) -> Column:
 
 def _norm_str(norm: Column) -> Column:
     # round + DECIMAL(28,6): identical rendering in Spark and DuckDB
-    # (raw double->string formatting differs between the engines)
-    return F.round(norm, 6).cast("decimal(28,6)").cast("string")
+    # (raw double->string formatting differs between the engines).
+    # Overflow guard (ADVICE r5): a finite float32 vector can have an
+    # L2 norm ≳1e22, and under ANSI mode the DECIMAL(28,6) cast would
+    # THROW and abort the whole validation job — violating the
+    # never-fail-fast violation-row contract. Values beyond the
+    # decimal's range render as a sentinel instead (the norm_min/max
+    # bounds that fire here are always tiny by comparison, so real
+    # deployments never see it; the oracle twin's range is identical).
+    return F.when(
+        F.abs(norm) < F.lit(1e22),
+        F.round(norm, 6).cast("decimal(28,6)").cast("string"),
+    ).otherwise(F.lit(">1e22"))
 
 
 def vector_violations(

@@ -1115,6 +1115,24 @@ def test_vector_violations_battery(spark):
     assert names == {"null_item", "non_finite", "null_vector"}
 
 
+def test_vector_violations_huge_norm_never_fails(spark):
+    """ADVICE r5: a finite float32 vector with elements ~1e22 must
+    produce a norm_high VIOLATION ROW, not an ANSI
+    NUMERIC_VALUE_OUT_OF_RANGE abort from the DECIMAL(28,6) rendering
+    cast — never-fail-fast is the module's contract."""
+    from satya_spark.functions.vectors import vector_violations
+
+    rows = [(1, [1e22, 1e22]), (2, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id"], r["constraint_name"]): r["offending_value"]
+        for r in vector_violations(
+            df, dim=2, norm_min=0.5, norm_max=2.0
+        ).collect()
+    }
+    assert got == {(1, "norm_high"): ">1e22"}
+
+
 def test_dup_clusters_empty_and_self_pairs(spark):
     """Empty pair set -> empty labelling (schema intact); a self-pair
     degenerates to a singleton cluster."""
