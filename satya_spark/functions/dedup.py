@@ -519,18 +519,25 @@ def dup_clusters(
         # only per-round shuffle mass, so the flag is a pure
         # cost knob — but the default stays safe for arbitrary input.
         dd = dd.distinct()
-    # both directions in ONE pass via explode — NOT a self-union:
-    # a self-union re-analyzes the (possibly expensive) upstream pair
-    # plan with fresh lambda-variable ids, which defeats sameResult /
-    # cache matching, so each union branch recomputes the entire
-    # LSH+verify pipeline (measured at sf0.1: the union-shaped edge
-    # build cost 14.3 s vs 1.5 s for this shape — the pair pipeline
-    # ran twice). The explode doubles rows in a narrow map after the
-    # distinct's single exchange; no further repartition — the
-    # per-round joins let AQE pick the strategy from runtime sizes
-    # (labels broadcast at test scale, exchange at cluster scale).
-    edges = (
-        dd.select(
+    # the UNDIRECTED pair list is what gets materialized — half the
+    # rows/bytes of a both-directions edge list; every consumer
+    # explodes the two orientations inline (a narrow two-struct
+    # explode over the checkpoint scan, NOT a self-union: a re-
+    # analyzed union branch defeats sameResult/cache matching and
+    # recomputed the entire LSH+verify pipeline per branch — measured
+    # 14.3 s vs 1.5 s for the explode shape at sf0.1). No
+    # repartition — the per-round joins let AQE pick the strategy
+    # from runtime sizes (labels broadcast at test scale, exchange at
+    # cluster scale).
+    und = dd.localCheckpoint()
+    n_und = und.count()
+    if n_und == 0:
+        return und.select(
+            F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+        )
+
+    def _both(e: DataFrame) -> DataFrame:
+        return e.select(
             F.explode(
                 F.array(
                     F.struct(F.col("src"), F.col("dst")),
@@ -539,33 +546,33 @@ def dup_clusters(
                     ),
                 )
             ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    n_edges = edges.count()
+        ).select("e.src", "e.dst")
+
+    n_edges = n_und * 2
+    edges = _both(und)
+    labels = None
     for rnd in range(max_iter):
-        if n_edges > 0:
-            if rnd == 0:
-                # round 0: labels are the identity by construction, so
-                # min-label-of-neighbors is just min(src) per dst — a
-                # plain map-side-combining groupBy, no join over the
-                # (clique-heavy, largest-of-the-run) edge set
-                nbr = edges.groupBy(F.col("dst").alias("node")).agg(
-                    F.min("src").alias("__nl")
-                )
-            else:
-                nbr = (
-                    edges.join(labels, edges.src == labels.node)
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.min("label").alias("__nl"))
-                )
+        if rnd == 0:
+            # round 0 needs NO labels frame: labels are the identity,
+            # so min-label-of-neighbors is min(src) per dst over the
+            # both-directions view — one map-side-combining groupBy,
+            # no join over the (clique-heavy, largest-of-the-run)
+            # edge set, and the node set falls out as the groupBy
+            # keys (every node appears as a dst), replacing the
+            # former distinct+checkpoint labels-build job.
+            prop = edges.groupBy(F.col("dst").alias("node")).agg(
+                F.min("src").alias("__nl")
+            ).select(
+                "node",
+                F.col("node").alias("__old"),
+                F.least("node", "__nl").alias("label"),
+            )
+        elif n_edges > 0:
+            nbr = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("__nl"))
+            )
             prop = labels.join(nbr, "node", "left").select(
                 "node",
                 F.col("label").alias("__old"),
@@ -607,21 +614,25 @@ def dup_clusters(
             # joins + distinct + checkpoint + count cost more jobs
             # than they save, so small graphs skip it after the
             # round-0 clique collapse.
+            # contraction runs over the UNDIRECTED list (half the
+            # probe mass); the directed view for later rounds is the
+            # same narrow explode over the contracted checkpoint
             lsrc = labels.select(
                 F.col("node").alias("src"), F.col("label").alias("__ls")
             )
             ldst = labels.select(
                 F.col("node").alias("dst"), F.col("label").alias("__ld")
             )
-            edges = (
-                edges.join(lsrc, "src")
+            und = (
+                und.join(lsrc, "src")
                 .join(ldst, "dst")
                 .select(F.col("__ls").alias("src"), F.col("__ld").alias("dst"))
                 .filter(F.col("src") != F.col("dst"))
                 .distinct()
                 .localCheckpoint()
             )
-            n_edges = edges.count()
+            n_edges = und.count() * 2
+            edges = _both(und)
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds — the pair "
         "graph has pathological diameter; raise max_iter"
