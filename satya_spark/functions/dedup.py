@@ -236,7 +236,13 @@ def lsh_candidate_pairs(
     # twice (probe side + broadcast build — measured in the simhash
     # twin; same shape here). Fixed-width rows (id + int + 32-char
     # bucket), ~40 B/doc/band at any corpus size.
-    exploded = _lsh_band_buckets(df, id_col, text_col, k, bands)
+    # materialize the (id, band, bucket) frame ONCE before the
+    # self-join: its two sides plan as independent subtrees, so the
+    # tokenize + k-seed md5 minhash pipeline would otherwise run
+    # twice (probe side + broadcast build). Fixed-width rows
+    # (id + int + 32-char bucket) at any corpus size. Measured r6:
+    # dedup_minhash 3.8->3.3 s, conv_neardup 3.9->3.3 s at sf0.1.
+    exploded = _lsh_band_buckets(df, id_col, text_col, k, bands).localCheckpoint()
     if max_bucket_size is not None:
         # window count shares the (band, bucket) shuffle with the join
         from pyspark.sql import Window

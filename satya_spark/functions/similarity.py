@@ -936,6 +936,12 @@ def semantic_dedup(
         assigned = df.select(id_col, vec_col).withColumn(
             "__c", _nearest_centroid(F.col(vec_col), centroids)
         )
+    # materialize the assignment ONCE before the in-cluster self-join:
+    # its two sides plan as independent subtrees, so the centroid-
+    # assignment pass (a Python mapInArrow stage on the arrow path)
+    # would otherwise run twice — same self-join recompute defect
+    # fixed across the dedup tier this round (r6).
+    assigned = assigned.localCheckpoint()
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__c"
     )
