@@ -704,10 +704,19 @@ def build_ivf_index(
     # cluster rows by list BEFORE the partitioned write: without it
     # every input task writes a sliver into every list directory
     # (tasks × k small files — a probe then pays k× the file-open
-    # cost it should); with it each list is a few compact files
-    assigned.repartition("__list").write.mode(mode).partitionBy(
-        "__list"
-    ).parquet(path)
+    # cost it should). A deterministic per-row salt widens the write
+    # when there are fewer lists than cores (k=16 lists on 32 cores
+    # left half the writers idle): each list becomes ≤ `w` compact
+    # files, with w derived from the session's parallelism so it
+    # degrades to 1 as k outgrows the cluster — at production k
+    # (thousands of lists) the layout is one-file-per-list again.
+    # Deterministic (xxhash64 of the id), never rand() — guide §2.5.
+    k_lists = max(len(centroids), 1)
+    dp = corpus.sparkSession.sparkContext.defaultParallelism
+    w = max(1, dp // k_lists)
+    assigned.repartition(
+        F.col("__list"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(w))
+    ).write.mode(mode).partitionBy("__list").parquet(path)
 
 
 def ivf_topk_indexed(
