@@ -26,6 +26,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from .text import fingerprint, norm_text, tokens_ws
 
@@ -230,12 +231,6 @@ def lsh_candidate_pairs(
     (same arguments) to report exactly which (band, bucket, size)
     groups were dropped, and log that count next to the result.
     Default None = exact candidate set (the oracle-gated config)."""
-    # materialize the (id, band, bucket) frame ONCE before the
-    # self-join: its two sides plan as independent subtrees, so
-    # without this the tokenize + k-seed md5 minhash pipeline runs
-    # twice (probe side + broadcast build — measured in the simhash
-    # twin; same shape here). Fixed-width rows (id + int + 32-char
-    # bucket), ~40 B/doc/band at any corpus size.
     # materialize the (id, band, bucket) frame ONCE before the
     # self-join: its two sides plan as independent subtrees, so the
     # tokenize + k-seed md5 minhash pipeline would otherwise run
@@ -469,6 +464,61 @@ def minhash_dedup_pairs_collapsed(
     )
 
 
+def _cc_finish_driver(labels: DataFrame, und: DataFrame) -> DataFrame:
+    """Exact driver-side finish for :func:`dup_clusters` once the
+    CONTRACTED graph fits the collect guard: union-find over the
+    collected ``(node, label)`` rows PLUS the contracted edges, min
+    member id per component.
+
+    The ``(node, label)`` unions are load-bearing, not decoration:
+    labels can carry multi-hop chains (label(u)=v while label(v)=w),
+    and the contracted edge set alone does not encode u~v — a
+    union-find over edges only misses exactly those label-chain
+    merges (the defect that sank the unguarded driver-finish idea in
+    r6's round log). Unioning every labels row restores them: each
+    original edge (u, x) appears as the contracted (label(u),
+    label(x)) union plus the u~label(u) / x~label(x) chain unions, so
+    components equal the original components restricted to
+    pair-participating nodes; the min over a component's label-table
+    keys is the min original member id (label values and contracted
+    endpoints are themselves node ids present as keys)."""
+    lab_rows = labels.collect()
+    edge_rows = und.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for r in lab_rows:
+        union(r[0], r[1])
+    for r in edge_rows:
+        union(r[0], r[1])
+    minid: dict = {}
+    for r in lab_rows:
+        rt = find(r[0])
+        if rt not in minid or r[0] < minid[rt]:
+            minid[rt] = r[0]
+    out = [(r[0], minid[find(r[0])]) for r in lab_rows]
+    ntype = labels.schema["node"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", ntype, False),
+            StructField("cluster_id", ntype, False),
+        ]
+    )
+    return labels.sparkSession.createDataFrame(out, schema)
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -476,6 +526,7 @@ def dup_clusters(
     max_iter: int = 25,
     assume_distinct: bool = False,
     contract_min_edges: int = 65536,
+    finish_collect_max: int = 200_000,
 ) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: connected components over
     the pair graph, labelling every member with the minimum id of its
@@ -515,6 +566,14 @@ def dup_clusters(
     job), never rows; the per-round convergence check is a 1-row
     count of changed labels. Raises after ``max_iter`` rounds instead
     of returning a partial labelling.
+
+    Once a contraction leaves the graph below ``finish_collect_max``
+    total rows (labels + contracted edges), the remaining rounds are
+    replaced by an exact driver-side union-find
+    (:func:`_cc_finish_driver`): on a trivial residual graph every
+    further round is fixed plan/checkpoint/count cost, not data. The
+    guard is a row-count bound, so the path never fires on
+    corpus-sized label tables.
     """
     dd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     if not assume_distinct:
@@ -645,6 +704,18 @@ def dup_clusters(
             )
             n_edges = und.count() * 2
             edges = _both(und)
+            # size-guarded driver finish: once the CONTRACTED graph is
+            # tiny, every further round is pure fixed cost (plan +
+            # checkpoint + count jobs over a few-hundred-row frame —
+            # measured 3 tail rounds x ~0.5 s on a 455-edge graph at
+            # sf0.1 while the union-find itself is microseconds). The
+            # guard bounds BOTH collected frames by row count, so the
+            # path never fires when the label table is corpus-sized —
+            # at 100 TB the distributed loop simply continues.
+            if n_edges <= finish_collect_max:
+                n_nodes = labels.count()
+                if n_nodes + n_edges // 2 <= finish_collect_max:
+                    return _cc_finish_driver(labels, und)
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds — the pair "
         "graph has pathological diameter; raise max_iter"

@@ -1071,8 +1071,11 @@ def test_dup_clusters_string_ids_and_non_convergence(spark):
     long_chain = spark.createDataFrame(
         [(i, i + 1) for i in range(200, 230)], "id_a long, id_b long"
     )
+    # finish_collect_max=0 pins the DISTRIBUTED loop's raise: with the
+    # r6 driver finish enabled a graph this small completes exactly
+    # instead of exhausting max_iter.
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(long_chain, max_iter=1)
+        dup_clusters(long_chain, max_iter=1, finish_collect_max=0)
 
 
 def test_vector_violations_battery(spark):
@@ -1131,6 +1134,37 @@ def test_vector_violations_huge_norm_never_fails(spark):
         ).collect()
     }
     assert got == {(1, "norm_high"): ">1e22"}
+
+
+def test_dup_clusters_driver_finish_parity(spark):
+    """The size-guarded driver finish (union-find over labels +
+    contracted edges) must label identically to the pure distributed
+    loop — including on the label-CHAIN shape that breaks an
+    edges-only union-find: after round 0 a path graph's label table
+    carries multi-hop chains (label(u)=v while label(v)=w), and the
+    contracted edges alone do not encode u~v; the (node, label)
+    unions restore them. Also pins the guard itself: finish off
+    (finish_collect_max=0) and forced-on give the same labelling."""
+    from satya_spark.functions.dedup import dup_clusters
+
+    # path graph (worst chain shape) + a clique + a separate pair,
+    # with ids interleaved so min-ids are non-trivial
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50, 66)]           # 17-node path
+        + [(9, 30), (30, 41), (9, 41)]                # triangle
+        + [(70, 3)],                                  # pair, min on right
+        "id_a long, id_b long",
+    )
+    on = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(pairs).collect()  # guard fires (small graph)
+    }
+    off = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters(pairs, finish_collect_max=0).collect()
+    }
+    assert on == off
+    assert {c for _, c in on} == {50, 9, 3}
 
 
 def test_dup_clusters_empty_and_self_pairs(spark):
